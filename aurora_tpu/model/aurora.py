@@ -1,0 +1,571 @@
+"""The Aurora model: parameter init, the jitted forward core, and the host wrapper.
+
+TPU-native architecture (contrast with reference: aurora/model/aurora.py:265-392):
+
+* The device graph (``forward_core``) is a pure function of (params, arrays, traced
+  roll-out step) — normalise → clamp → variant pre-hook → encoder → backbone (bf16 when
+  ``autocast``) → decoder → variant post-hook → gated clamps → unnormalise. It is jitted
+  once per (config, shapes) and reused for every forward/rollout step; the roll-out step
+  is *traced*, so per-step LoRA never recompiles.
+* Everything involving metadata (times, variable bookkeeping, float64 Fourier
+  encodings) lives in the host wrapper :class:`Aurora`, which prepares plain arrays and
+  re-assembles the output :class:`~aurora_tpu.batch.Batch`.
+* Variant behaviour (air pollution, ocean waves) is expressed as pure in-graph hook
+  functions dispatched on ``cfg.variant`` plus a host-side batch-transform hook.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aurora_tpu.batch import Batch, Metadata
+from aurora_tpu.fourier import (
+    absolute_time_expansion,
+    lead_time_expansion,
+    levels_expansion,
+)
+from aurora_tpu.model.config import (
+    HIGHRES_CONFIG,
+    LARGE_CONFIG,
+    SMALL_CONFIG,
+    AuroraConfig,
+)
+from aurora_tpu.model.decoder import decoder_apply, decoder_init
+from aurora_tpu.model.encoder import EncoderEncodings, encoder_apply, encoder_init
+from aurora_tpu.model.nn import linear
+from aurora_tpu.model.swin3d import backbone_apply, backbone_init
+from aurora_tpu.normalisation import (
+    normalise_atmos_var,
+    normalise_surf_var,
+    unnormalise_atmos_var,
+    unnormalise_surf_var,
+)
+from aurora_tpu.posencoding import pos_scale_enc_cached
+
+__all__ = [
+    "Aurora",
+    "AuroraPretrained",
+    "AuroraSmallPretrained",
+    "AuroraSmall",
+    "Aurora12hPretrained",
+    "AuroraHighRes",
+    "AuroraAirPollution",
+    "AuroraWave",
+    "init_params",
+    "forward_core",
+]
+
+# For every air-pollution variable predicted as a difference, the history index the
+# difference is taken against (reference: aurora/model/aurora.py:652-668).
+PREDICT_DIFFERENCE_HISTORY_DIM = {
+    "pm1": 0, "pm2p5": 0, "pm10": 0,
+    "co": 1, "tcco": 1,
+    "no": 0, "tc_no": 0,
+    "no2": 0, "tcno2": 0,
+    "so2": 1, "tcso2": 1,
+    "go3": 1, "gtco3": 1,
+}
+
+
+# ------------------------------------------------------------------------------- init
+
+
+def init_params(key, cfg: AuroraConfig, dtype=jnp.float32):
+    """Initialise the full parameter pytree for ``cfg``."""
+    k_enc, k_bb, k_dec, k_var = jax.random.split(key, 4)
+    params = {
+        "encoder": encoder_init(k_enc, cfg, dtype=dtype),
+        "backbone": backbone_init(k_bb, cfg.backbone, dtype=dtype),
+        "decoder": decoder_init(k_dec, cfg, dtype=dtype),
+    }
+    if cfg.variant == "air_pollution":
+        # Feature combiners start as the mean of the two channels (reference:
+        # aurora/model/aurora.py:716-724).
+        params["surf_feature_combiner"] = {
+            v: {"weight": jnp.full((2, 1), 0.5, dtype=dtype), "bias": jnp.zeros((1,), dtype)}
+            for v in cfg.positive_surf_vars
+        }
+        params["atmos_feature_combiner"] = {
+            v: {"weight": jnp.full((2, 1), 0.5, dtype=dtype), "bias": jnp.zeros((1,), dtype)}
+            for v in cfg.positive_atmos_vars
+        }
+    return params
+
+
+# ------------------------------------------------------------------- in-graph hooks
+
+
+def _pollution_pre_encoder(params, surf, atmos, cfg: AuroraConfig):
+    """Log-transform for the spikey chemistry variables (reference: aurora.py:726-758)."""
+    eps = 1e-4
+    divisor = -np.log(eps)
+
+    def transform(z, combiner):
+        feats = jnp.stack(
+            [
+                jnp.clip(z, 0.0, 2.5),
+                (jnp.log(jnp.clip(z, eps)) - np.log(eps)) / divisor,
+            ],
+            axis=-1,
+        )
+        return linear(combiner, feats)[..., 0]
+
+    surf = {
+        k: transform(v, params["surf_feature_combiner"][k])
+        if k in cfg.positive_surf_vars
+        else v
+        for k, v in surf.items()
+    }
+    atmos = {
+        k: transform(v, params["atmos_feature_combiner"][k])
+        if k in cfg.positive_atmos_vars
+        else v
+        for k, v in atmos.items()
+    }
+    return surf, atmos
+
+
+def _pollution_post_decoder(
+    surf_prev, atmos_prev, surf_pred, atmos_pred, atmos_levels, cfg: AuroraConfig
+):
+    """Difference prediction with modulation heads + aggressive SO2 clipping
+    (reference: aurora/model/aurora.py:760-796). Operates in normalised space."""
+
+    def transform(prev, pred, name):
+        if name in PREDICT_DIFFERENCE_HISTORY_DIM:
+            d = PREDICT_DIFFERENCE_HISTORY_DIM[name]
+            return pred[name] + (1 + pred[f"{name}_mod"]) * prev[name][:, d]
+        return pred[name]
+
+    surf_out = {k: transform(surf_prev, surf_pred, k) for k in surf_prev}
+    atmos_out = {k: transform(atmos_prev, atmos_pred, k) for k in atmos_prev}
+
+    if cfg.use_lora and "so2" in atmos_out:
+        so2 = atmos_out["so2"]
+        clamp_levels = np.array([lvl >= 850 for lvl in atmos_levels])[:, None, None]
+        atmos_out["so2"] = jnp.where(
+            jnp.asarray(clamp_levels), jnp.minimum(so2, 1.0), so2
+        )
+    return surf_out, atmos_out
+
+
+def _wave_pre_encoder(surf, cfg: AuroraConfig):
+    """Split angles into sin/cos, add presence-density channels
+    (reference: aurora/model/aurora.py:892-908). Operates in normalised space; wave
+    angle variables have (loc, scale) = (0, 1), so the angles are still degrees."""
+    out = dict(surf)
+    for name in list(out.keys()):
+        x = out[name]
+        if name in cfg.density_channel_surf_vars and f"{name}_density" not in out:
+            out[f"{name}_density"] = (~jnp.isnan(x)).astype(x.dtype)
+            out[name] = jnp.nan_to_num(x, nan=0.0)
+        if name in cfg.angle_surf_vars:
+            x = out[name]
+            out[f"{name}_sin"] = jnp.nan_to_num(jnp.sin(jnp.deg2rad(x)), nan=0.0)
+            out[f"{name}_cos"] = jnp.nan_to_num(jnp.cos(jnp.deg2rad(x)), nan=0.0)
+            del out[name]
+    return out
+
+
+def _wave_post_decoder(surf_pred, static_norm, cfg: AuroraConfig):
+    """Recombine sin/cos into angles and apply the density mask
+    (reference: aurora/model/aurora.py:910-932)."""
+    out = dict(surf_pred)
+    wmb_mask = (static_norm["wmb"] > 0).astype(next(iter(out.values())).dtype)
+
+    for name in cfg.angle_surf_vars:
+        if f"{name}_sin" in out and f"{name}_cos" in out:
+            sin, cos = out[f"{name}_sin"], out[f"{name}_cos"]
+            out[name] = jnp.rad2deg(jnp.arctan2(sin, cos)) % 360
+            del out[f"{name}_sin"], out[f"{name}_cos"]
+
+    for name in cfg.density_channel_surf_vars:
+        if name in out:
+            density = jax.nn.sigmoid(out[f"{name}_density"]) * wmb_mask
+            data = out[name] * wmb_mask
+            out[name] = jnp.where(density < 0.5, jnp.nan, data)
+            del out[f"{name}_density"]
+    return out
+
+
+# ------------------------------------------------------------------- forward core
+
+
+def forward_core(
+    params,
+    surf_vars: dict[str, jax.Array],
+    static_vars: dict[str, jax.Array],
+    atmos_vars: dict[str, jax.Array],
+    enc: EncoderEncodings,
+    rollout_step: jax.Array,
+    atmos_levels: tuple[float, ...],
+    cfg: AuroraConfig,
+):
+    """The pure device-side forward pass.
+
+    Args:
+        surf_vars: each ``(B, T, H, W)`` (unnormalised).
+        static_vars: each ``(H, W)`` (unnormalised).
+        atmos_vars: each ``(B, T, C_A, H, W)`` (unnormalised).
+        enc: Host-precomputed Fourier encodings.
+        rollout_step: Traced int32 scalar — the roll-out step of the *input* batch.
+        atmos_levels: Static pressure levels (hPa).
+        cfg: Static model config.
+
+    Returns:
+        ``(surf_preds, atmos_preds)`` — unnormalised predictions, each ``(B, H, W)`` /
+        ``(B, C_A, H, W)``.
+    """
+    surf_stats = dict(cfg.surf_stats)
+    B, T, H, W = next(iter(surf_vars.values())).shape
+    patch_res = (cfg.latent_levels, H // cfg.patch_size, W // cfg.patch_size)
+
+    # Normalise.
+    surf_n = {k: normalise_surf_var(v, k, stats=surf_stats) for k, v in surf_vars.items()}
+    static_n = {
+        k: normalise_surf_var(v, k, stats=surf_stats) for k, v in static_vars.items()
+    }
+    atmos_n = {k: normalise_atmos_var(v, k, atmos_levels) for k, v in atmos_vars.items()}
+
+    # Static variables get batch/history dims (broadcast, not materialised).
+    static_exp = {
+        k: jnp.broadcast_to(v[None, None], (B, T, H, W)) for k, v in static_n.items()
+    }
+
+    # Clamp positive variables before the encoder (normalised space, like the reference).
+    surf_t = {
+        k: jnp.clip(v, 0) if k in cfg.positive_surf_vars else v
+        for k, v in surf_n.items()
+    }
+    atmos_t = {
+        k: jnp.clip(v, 0) if k in cfg.positive_atmos_vars else v
+        for k, v in atmos_n.items()
+    }
+
+    # Variant pre-encoder hooks.
+    if cfg.variant == "air_pollution":
+        surf_t, atmos_t = _pollution_pre_encoder(params, surf_t, atmos_t, cfg)
+    elif cfg.variant == "wave":
+        surf_t = _wave_pre_encoder(surf_t, cfg)
+
+    x = encoder_apply(
+        params["encoder"], surf_t, static_exp, atmos_t, atmos_levels, enc, cfg
+    )
+
+    # Backbone, in bf16 when autocast is enabled (reference: aurora.py:327-343 runs
+    # only the backbone under bf16 autocast; encoder/decoder stay full precision).
+    if cfg.autocast:
+        x = backbone_apply(
+            params["backbone"],
+            x.astype(jnp.bfloat16),
+            enc.lead_time,
+            rollout_step,
+            patch_res,
+            cfg.backbone,
+        ).astype(jnp.float32)
+    else:
+        x = backbone_apply(
+            params["backbone"], x, enc.lead_time, rollout_step, patch_res, cfg.backbone
+        )
+
+    # Decode. The decoder's variable set is the (possibly hook-supplemented) one.
+    surf_names = tuple(surf_t.keys())
+    atmos_names = tuple(atmos_t.keys())
+    surf_pred, atmos_pred = decoder_apply(
+        params["decoder"],
+        x,
+        surf_names,
+        atmos_names,
+        atmos_levels,
+        enc.levels_dec,
+        patch_res,
+        H,
+        W,
+        cfg,
+    )
+
+    # Variant post-decoder hooks (normalised space).
+    if cfg.variant == "air_pollution":
+        surf_pred, atmos_pred = _pollution_post_decoder(
+            surf_n, atmos_n, surf_pred, atmos_pred, atmos_levels, cfg
+        )
+    elif cfg.variant == "wave":
+        surf_pred = _wave_post_decoder(surf_pred, static_n, cfg)
+        surf_pred = {k: v for k, v in surf_pred.items()}
+    else:
+        # Drop any modulation heads that are not consumed by a post hook.
+        surf_pred = {k: v for k, v in surf_pred.items() if not k.endswith("_mod")}
+        atmos_pred = {k: v for k, v in atmos_pred.items() if not k.endswith("_mod")}
+
+    # Clamp positive variables on the way out, gated on the prediction's roll-out step
+    # (reference: aurora/model/aurora.py:367-388).
+    pred_step = rollout_step + 1
+    gate = pred_step >= 1 if cfg.clamp_at_first_step else pred_step > 1
+    if cfg.positive_surf_vars:
+        surf_pred = {
+            k: jnp.where(gate, jnp.clip(v, 0), v) if k in cfg.positive_surf_vars else v
+            for k, v in surf_pred.items()
+        }
+    if cfg.positive_atmos_vars:
+        atmos_pred = {
+            k: jnp.where(gate, jnp.clip(v, 0), v)
+            if k in cfg.positive_atmos_vars
+            else v
+            for k, v in atmos_pred.items()
+        }
+
+    # Unnormalise.
+    surf_out = {k: unnormalise_surf_var(v, k, stats=surf_stats) for k, v in surf_pred.items()}
+    atmos_out = {k: unnormalise_atmos_var(v, k, atmos_levels) for k, v in atmos_pred.items()}
+    return surf_out, atmos_out
+
+
+_forward_core_jit = jax.jit(forward_core, static_argnames=("atmos_levels", "cfg"))
+
+
+# --------------------------------------------------------------------- host wrapper
+
+
+class Aurora:
+    """Host-side model wrapper: holds the config and prepares/unpacks batches.
+
+    Equivalent surface to the reference ``Aurora`` module (aurora/model/aurora.py:40+),
+    but functional: parameters are an explicit pytree, ``forward`` is
+    ``forward(params, batch)``.
+    """
+
+    config_cls_overrides: dict = {}
+
+    def __init__(self, cfg: Optional[AuroraConfig] = None, **overrides):
+        base = cfg or self.default_config()
+        if overrides:
+            base = base.replace(**overrides)
+        self.cfg = base
+
+    @classmethod
+    def default_config(cls) -> AuroraConfig:
+        return LARGE_CONFIG.replace(use_lora=True)
+
+    # -- parameters
+
+    def init(self, key=None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return init_params(key, self.cfg, dtype=dtype)
+
+    # -- hooks (host side)
+
+    def batch_transform_hook(self, batch: Batch) -> Batch:
+        """Transform the batch right after receiving it. Must be idempotent."""
+        return batch
+
+    # -- forward
+
+    def prepare_encodings(self, batch: Batch, dtype=jnp.float32) -> EncoderEncodings:
+        """Compute all Fourier encodings host-side in float64 (see aurora_tpu/fourier)."""
+        cfg = self.cfg
+        D = cfg.embed_dim
+        lat = np.asarray(batch.metadata.lat, dtype=np.float64)
+        lon = np.asarray(batch.metadata.lon, dtype=np.float64)
+        pos, scale = pos_scale_enc_cached(D, lat, lon, cfg.patch_size)
+
+        levels_arr = np.asarray(batch.metadata.atmos_levels, dtype=np.float64)
+        levels = levels_expansion(levels_arr, D)
+        levels_dec = levels_expansion(levels_arr, cfg.decoder_embed_dim)
+        lead_hours = cfg.timestep_hours
+        lead = lead_time_expansion(np.array(lead_hours, dtype=np.float64), D)
+        abs_hours = np.array(
+            [t.timestamp() / 3600 for t in batch.metadata.time], dtype=np.float64
+        )
+        abs_t = absolute_time_expansion(abs_hours, D)
+
+        dynamic = None
+        if cfg.dynamic_vars:
+            feats = []
+            for t in batch.metadata.time:
+                feats.append(
+                    [
+                        np.cos(2 * np.pi * t.hour / 24),
+                        np.sin(2 * np.pi * t.hour / 24),
+                        np.cos(2 * np.pi * t.weekday() / 7),
+                        np.sin(2 * np.pi * t.weekday() / 7),
+                        np.cos(2 * np.pi * t.day / 365.25),
+                        np.sin(2 * np.pi * t.day / 365.25),
+                    ]
+                )
+            dynamic = jnp.asarray(np.array(feats), dtype=dtype)
+
+        return EncoderEncodings(
+            pos=jnp.asarray(pos, dtype),
+            scale=jnp.asarray(scale, dtype),
+            levels=jnp.asarray(levels, dtype),
+            levels_dec=jnp.asarray(levels_dec, dtype),
+            lead_time=jnp.asarray(lead, dtype),
+            absolute_time=jnp.asarray(abs_t, dtype),
+            dynamic_scalars=dynamic,
+        )
+
+    def forward(self, params, batch: Batch) -> Batch:
+        """One prediction step: returns a :class:`Batch` one timestep ahead."""
+        cfg = self.cfg
+        batch = self.batch_transform_hook(batch)
+        batch = batch.crop(patch_size=cfg.patch_size)
+
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        enc = self.prepare_encodings(batch, dtype=jnp.float32 if dtype == jnp.bfloat16 else dtype)
+
+        surf = {k: jnp.asarray(v, dtype) for k, v in batch.surf_vars.items()}
+        static = {k: jnp.asarray(v, dtype) for k, v in batch.static_vars.items()}
+        atmos = {k: jnp.asarray(v, dtype) for k, v in batch.atmos_vars.items()}
+
+        rollout_step = jnp.asarray(batch.metadata.rollout_step, dtype=jnp.int32)
+        surf_pred, atmos_pred = _forward_core_jit(
+            params,
+            surf,
+            static,
+            atmos,
+            enc,
+            rollout_step,
+            atmos_levels=tuple(batch.metadata.atmos_levels),
+            cfg=cfg,
+        )
+
+        # Insert the history dimension; metadata advances by one timestep.
+        return Batch(
+            surf_vars={k: v[:, None] for k, v in surf_pred.items()},
+            static_vars=dict(batch.static_vars),
+            atmos_vars={k: v[:, None] for k, v in atmos_pred.items()},
+            metadata=Metadata(
+                lat=batch.metadata.lat,
+                lon=batch.metadata.lon,
+                time=tuple(t + cfg.timestep for t in batch.metadata.time),
+                atmos_levels=batch.metadata.atmos_levels,
+                rollout_step=batch.metadata.rollout_step + 1,
+            ),
+        )
+
+    __call__ = forward
+
+
+class AuroraPretrained(Aurora):
+    @classmethod
+    def default_config(cls):
+        return LARGE_CONFIG
+
+
+class AuroraSmallPretrained(Aurora):
+    @classmethod
+    def default_config(cls):
+        return SMALL_CONFIG
+
+
+AuroraSmall = AuroraSmallPretrained
+
+
+class Aurora12hPretrained(Aurora):
+    @classmethod
+    def default_config(cls):
+        return LARGE_CONFIG.replace(timestep_hours=12.0)
+
+
+class AuroraHighRes(Aurora):
+    @classmethod
+    def default_config(cls):
+        return HIGHRES_CONFIG.replace(use_lora=True)
+
+
+class AuroraAirPollution(Aurora):
+    """Air-pollution fine-tune (reference: aurora/model/aurora.py:646-801)."""
+
+    @classmethod
+    def default_config(cls):
+        pollution_surf = ("pm1", "pm2p5", "pm10", "tcco", "tc_no", "tcno2", "gtco3", "tcso2")
+        pollution_atmos = ("co", "no", "no2", "go3", "so2")
+        return LARGE_CONFIG.replace(
+            variant="air_pollution",
+            surf_vars=("2t", "10u", "10v", "msl") + pollution_surf,
+            static_vars=(
+                ("lsm", "z", "slt")
+                + ("static_ammonia", "static_ammonia_log", "static_co", "static_co_log")
+                + ("static_nox", "static_nox_log", "static_so2", "static_so2_log")
+            ),
+            atmos_vars=("z", "u", "v", "t", "q") + pollution_atmos,
+            patch_size=3,
+            timestep_hours=12.0,
+            level_condition=(50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000),
+            dynamic_vars=True,
+            atmos_static_vars=True,
+            separate_perceiver=pollution_atmos,
+            modulation_heads=tuple(PREDICT_DIFFERENCE_HISTORY_DIM.keys()),
+            positive_surf_vars=pollution_surf,
+            positive_atmos_vars=pollution_atmos,
+            simulate_indexing_bug=True,
+            use_lora=True,
+        )
+
+
+class AuroraWave(Aurora):
+    """Ocean-wave fine-tune (reference: aurora/model/aurora.py:804-932)."""
+
+    @classmethod
+    def default_config(cls):
+        wave_vars = (
+            ("swh", "mwd", "mwp", "pp1d", "shww", "mdww", "mpww", "shts", "mdts", "mpts")
+            + ("swh1", "mwd1", "mwp1", "swh2", "mwd2", "mwp2", "wind", "10u_wave", "10v_wave")
+        )
+        angle_vars = ("mwd", "mdww", "mdts", "mwd1", "mwd2")
+        surf_vars = ("2t", "10u", "10v", "msl") + wave_vars
+        # The model's own variable set splits angles into sin/cos and adds a density
+        # channel per wave variable (reference: aurora/model/aurora.py:829-836).
+        supplemented: tuple[str, ...] = ()
+        for name in surf_vars:
+            if name in angle_vars:
+                supplemented += (f"{name}_sin", f"{name}_cos")
+            else:
+                supplemented += (name,)
+            if name in wave_vars:
+                supplemented += (f"{name}_density",)
+        return LARGE_CONFIG.replace(
+            variant="wave",
+            surf_vars=supplemented,
+            static_vars=("lsm", "z", "slt", "wmb", "lat_mask"),
+            lora_mode="from_second",
+            stabilise_level_agg=True,
+            density_channel_surf_vars=wave_vars,
+            angle_surf_vars=angle_vars,
+            use_lora=True,
+        )
+
+    def batch_transform_hook(self, batch: Batch) -> Batch:
+        """Split the 10 m neutral wind into components and NaN-mask absent waves
+        (reference: aurora/model/aurora.py:854-890). Host-side and idempotent."""
+        surf = dict(batch.surf_vars)
+
+        if "dwi" in surf and "wind" in surf:
+            wind = np.asarray(surf["wind"])
+            dwi = np.asarray(surf["dwi"])
+            surf["10u_wave"] = -wind * np.sin(np.deg2rad(dwi))
+            surf["10v_wave"] = -wind * np.cos(np.deg2rad(dwi))
+            del surf["dwi"]
+
+        if batch.metadata.rollout_step == 0:
+            for name_sh, others in [
+                ("swh", ("mwd", "mwp", "pp1d")),
+                ("shww", ("mdww", "mpww")),
+                ("shts", ("mdts", "mdts")),
+                ("swh1", ("mwd1", "mwp1")),
+                ("swh2", ("mwd2", "mwp2")),
+            ]:
+                mask = np.asarray(surf[name_sh]) < 1e-4
+                if mask.sum() > 0:
+                    for name in (name_sh,) + others:
+                        x = np.array(surf[name], copy=True)
+                        x[mask] = np.nan
+                        surf[name] = x
+
+        return dataclasses.replace(batch, surf_vars=surf)

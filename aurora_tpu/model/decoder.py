@@ -1,0 +1,177 @@
+"""Perceiver3D decoder: backbone tokens → per-variable fields.
+
+Reference behaviour: aurora/model/decoder.py:140-276. The latent-level axis is
+de-aggregated back to physical pressure levels with a Perceiver whose queries are the
+pressure-level embeddings; per-variable linear heads produce patch pixels which are
+un-patchified into ``(B, V, C, H, W)`` fields.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aurora_tpu.model.config import AuroraConfig
+from aurora_tpu.model.nn import linear, linear_init
+from aurora_tpu.model.perceiver import perceiver_resampler_apply, perceiver_resampler_init
+from aurora_tpu.normalisation import level_to_str
+
+__all__ = ["decoder_init", "decoder_apply", "unpatchify"]
+
+
+def unpatchify(x: jax.Array, V: int, H: int, W: int, P: int) -> jax.Array:
+    """``(B, L, C, V*P²) -> (B, V, C, H, W)`` (reference: aurora/model/util.py:18-41)."""
+    B, C = x.shape[0], x.shape[2]
+    Hp, Wp = H // P, W // P
+    assert x.shape[1] == Hp * Wp and x.shape[-1] == V * P**2
+    x = x.reshape(B, Hp, Wp, C, P, P, V)
+    x = x.transpose(0, 6, 3, 1, 4, 2, 5)  # (B, V, C, Hp, P, Wp, P)
+    return x.reshape(B, V, C, Hp * P, Wp * P)
+
+
+def _head_vars(cfg: AuroraConfig):
+    surf = cfg.surf_vars + tuple(
+        f"{n}_mod" for n in cfg.surf_vars if n in cfg.modulation_heads
+    )
+    atmos = cfg.atmos_vars + tuple(
+        f"{n}_mod" for n in cfg.atmos_vars if n in cfg.modulation_heads
+    )
+    separate = cfg.separate_perceiver
+    if cfg.modulation_heads:
+        separate = separate + tuple(f"{n}_mod" for n in cfg.separate_perceiver)
+    return surf, atmos, separate
+
+
+def decoder_init(key, cfg: AuroraConfig, dtype=jnp.float32):
+    D = cfg.decoder_embed_dim
+    P2 = cfg.patch_size**2
+    surf_vars, atmos_vars, separate = _head_vars(cfg)
+    ks = jax.random.split(key, 4 + len(surf_vars) + len(atmos_vars))
+
+    def resampler(k):
+        return perceiver_resampler_init(
+            k,
+            latent_dim=D,
+            context_dim=D,
+            depth=cfg.dec_depth,
+            head_dim=D // cfg.num_heads,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.dec_mlp_ratio,
+            dtype=dtype,
+        )
+
+    p = {
+        "level_decoder": resampler(ks[0]),
+        "atmos_levels_embed": linear_init(ks[1], D, D, dtype=dtype),
+        "surf_heads": {
+            name: linear_init(k, D, P2, dtype=dtype)
+            for name, k in zip(surf_vars, ks[4 : 4 + len(surf_vars)])
+        },
+    }
+    if separate:
+        p["level_decoder_alternate"] = resampler(ks[2])
+
+    atmos_keys = ks[4 + len(surf_vars) :]
+    if not cfg.level_condition:
+        p["atmos_heads"] = {
+            name: linear_init(k, D, P2, dtype=dtype) for name, k in zip(atmos_vars, atmos_keys)
+        }
+    else:
+        p["atmos_heads"] = {
+            name: {
+                "layers": {
+                    level_to_str(lvl): linear_init(kk, D, P2, dtype=dtype)
+                    for lvl, kk in zip(
+                        cfg.level_condition, jax.random.split(k, len(cfg.level_condition))
+                    )
+                }
+            }
+            for name, k in zip(atmos_vars, atmos_keys)
+        }
+    return p
+
+
+def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
+    """``(B, L, C', D) context + (B, L, C_A, D) queries -> (B, L, C_A, D)``."""
+    B, L, C_A, D = level_embed.shape
+    q = level_embed.reshape(B * L, C_A, D)
+    ctx = x.reshape(B * L, x.shape[2], D)
+    out = perceiver_resampler_apply(
+        p_dec, q, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
+    )
+    return out.reshape(B, L, C_A, D)
+
+
+def decoder_apply(
+    p,
+    x: jax.Array,
+    surf_names: tuple[str, ...],
+    atmos_names: tuple[str, ...],
+    atmos_levels: tuple[float, ...],
+    levels_encode: jax.Array,
+    patch_res: tuple[int, int, int],
+    H: int,
+    W: int,
+    cfg: AuroraConfig,
+) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+    """Decode backbone tokens ``x: (B, L_tot, 2*D_emb)``.
+
+    Returns ``(surf_preds, atmos_preds)`` — dicts of ``(B, H, W)``-patched fields:
+    surface ``(B, H, W)`` and atmospheric ``(B, C_A, H, W)``. Modulation-head variables
+    appear with a ``_mod`` suffix.
+    """
+    _, _, separate = _head_vars(cfg)
+    surf_vars = surf_names + tuple(
+        f"{n}_mod" for n in surf_names if n in cfg.modulation_heads
+    )
+    atmos_vars = atmos_names + tuple(
+        f"{n}_mod" for n in atmos_names if n in cfg.modulation_heads
+    )
+
+    B, L_tot, D = x.shape
+    C_l, Hp, Wp = patch_res
+    P = cfg.patch_size
+    dtype = x.dtype
+
+    # (B, (C H W), D) -> (B, H*W, C, D).
+    x = x.reshape(B, C_l, Hp * Wp, D).transpose(0, 2, 1, 3)
+
+    # Surface heads on the surface latent level.
+    x_surf = jnp.stack(
+        [linear(p["surf_heads"][name], x[..., :1, :]) for name in surf_vars], axis=-1
+    )  # (B, L, 1, P², V)
+    x_surf = x_surf.reshape(*x_surf.shape[:3], -1)  # (B, L, 1, P²*V) in (p², v) order
+    surf_preds_arr = unpatchify(x_surf, len(surf_vars), H, W, P)[:, :, 0]  # (B, V, H, W)
+
+    # De-aggregate latent levels into physical pressure levels.
+    levels_embed = linear(p["atmos_levels_embed"], levels_encode.astype(dtype))  # (C_A, D)
+    C_A = len(atmos_levels)
+    levels_embed = jnp.broadcast_to(
+        levels_embed[None, None], (B, x.shape[1], C_A, D)
+    )
+    x_atmos = _deaggregate(p["level_decoder"], levels_embed, x[..., 1:, :], cfg)
+    if separate:
+        x_atmos_alt = _deaggregate(
+            p["level_decoder_alternate"], levels_embed, x[..., 1:, :], cfg
+        )
+    else:
+        x_atmos_alt = x_atmos
+
+    def run_head(name):
+        inp = x_atmos_alt if name in separate else x_atmos
+        head = p["atmos_heads"][name]
+        if not cfg.level_condition:
+            return linear(head, inp)  # (B, L, C_A, P²)
+        per_level = [
+            linear(head["layers"][level_to_str(lvl)], inp[..., i, :])
+            for i, lvl in enumerate(atmos_levels)
+        ]
+        return jnp.stack(per_level, axis=-2)
+
+    xa = jnp.stack([run_head(name) for name in atmos_vars], axis=-1)  # (B, L, C_A, P², V)
+    xa = xa.reshape(*xa.shape[:3], -1)
+    atmos_preds_arr = unpatchify(xa, len(atmos_vars), H, W, P)  # (B, V, C_A, H, W)
+
+    surf_preds = {v: surf_preds_arr[:, i] for i, v in enumerate(surf_vars)}
+    atmos_preds = {v: atmos_preds_arr[:, i] for i, v in enumerate(atmos_vars)}
+    return surf_preds, atmos_preds

@@ -1,0 +1,101 @@
+"""Perceiver cross-attention resampler (level aggregation / de-aggregation).
+
+Reference: aurora/model/perceiver.py:91-233. The resampler maps a small set of latent
+query levels against a per-token context of physical pressure levels. In this framework
+it runs batched over ``B × L`` token columns as one large batched matmul — the sequence
+dims are tiny (≈3–13) but the batch is huge, which XLA maps well onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aurora_tpu.model.nn import (
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+    merge_heads,
+    mlp,
+    mlp_init,
+    sdpa,
+    split_heads,
+)
+
+__all__ = ["perceiver_resampler_init", "perceiver_resampler_apply"]
+
+
+def _attention_init(key, latent_dim, context_dim, head_dim, num_heads, ln_k_q, dtype):
+    inner = head_dim * num_heads
+    kq, kkv, ko = jax.random.split(key, 3)
+    p = {
+        "to_q": linear_init(kq, latent_dim, inner, bias=False, dtype=dtype),
+        "to_kv": linear_init(kkv, context_dim, inner * 2, bias=False, dtype=dtype),
+        "to_out": linear_init(ko, inner, latent_dim, bias=False, dtype=dtype),
+    }
+    if ln_k_q:
+        p["ln_k"] = layernorm_init(inner, dtype=dtype)
+        p["ln_q"] = layernorm_init(inner, dtype=dtype)
+    return p
+
+
+def _attention_apply(p, latents, x, num_heads):
+    """Cross-attention latents←context. Shapes ``(..., L1, Dl)``, ``(..., L2, Dc)``.
+
+    The optional extra LayerNorm on k/q (``stabilise_level_agg``) is applied *before*
+    the head split (reference: aurora/model/perceiver.py:144-146).
+    """
+    q = linear(p["to_q"], latents)
+    kv = linear(p["to_kv"], x)
+    k, v = jnp.split(kv, 2, axis=-1)
+    if "ln_k" in p:
+        k = layernorm(p["ln_k"], k)
+        q = layernorm(p["ln_q"], q)
+    q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
+    out = merge_heads(sdpa(q, k, v))
+    return linear(p["to_out"], out)
+
+
+def perceiver_resampler_init(
+    key,
+    latent_dim: int,
+    context_dim: int,
+    depth: int = 1,
+    head_dim: int = 64,
+    num_heads: int = 16,
+    mlp_ratio: float = 4.0,
+    ln_k_q: bool = False,
+    dtype=jnp.float32,
+):
+    layers = []
+    for i, k in enumerate(jax.random.split(key, depth)):
+        ka, km = jax.random.split(k)
+        layers.append(
+            {
+                "attn": _attention_init(
+                    ka, latent_dim, context_dim, head_dim, num_heads,
+                    ln_k_q=(ln_k_q and i == 0), dtype=dtype,
+                ),
+                "mlp": mlp_init(km, latent_dim, int(latent_dim * mlp_ratio), dtype=dtype),
+                "ln1": layernorm_init(latent_dim, dtype=dtype),
+                "ln2": layernorm_init(latent_dim, dtype=dtype),
+            }
+        )
+    return {"layers": layers}
+
+
+def perceiver_resampler_apply(
+    p,
+    latents: jax.Array,
+    x: jax.Array,
+    num_heads: int,
+    ln_eps: float = 1e-5,
+    residual_latent: bool = True,
+) -> jax.Array:
+    """Post-res-norm Perceiver blocks (Swin-v2 style; reference: perceiver.py:212-233)."""
+    for layer in p["layers"]:
+        attn_out = layernorm(layer["ln1"], _attention_apply(layer["attn"], latents, x, num_heads), eps=ln_eps)
+        latents = attn_out + latents if residual_latent else attn_out
+        latents = layernorm(layer["ln2"], mlp(layer["mlp"], latents), eps=ln_eps) + latents
+    return latents

@@ -1,0 +1,418 @@
+"""3D Swin-Transformer U-Net backbone.
+
+TPU-native re-design of the reference backbone (reference: aurora/model/swin3d.py):
+
+* Window partition/reverse are pure reshapes/transposes with the feature axis kept
+  minormost — XLA lowers them to cheap layout ops on TPU.
+* Shifted-window masks are host-side cached *group ids* (see aurora_tpu/ops/masks.py);
+  the additive bias is formed by an equality compare fused into attention.
+* The cyclic shift is ``jnp.roll``; under GSPMD sharding of the (H, W) token grid XLA
+  lowers it to an ICI ``collective-permute`` halo exchange (see aurora_tpu/parallel).
+* LoRA roll-out selection uses traced steps (one compiled program for all steps).
+* Optional ``jax.checkpoint`` rematerialisation at the same boundaries as the reference's
+  activation checkpointing (aurora/model/aurora.py:506-547).
+
+Structure (layer sizes, skip topology, FiLM conditioning) matches the reference:
+encoder stages double the feature dim via PatchMerging (H, W halved, level dim kept);
+decoder mirrors with PatchSplitting; additive skips at intermediate stages and a concat
+skip at the final stage (aurora/model/swin3d.py:884-936).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aurora_tpu.model.lora import LoRAMode, lora_apply, lora_init
+from aurora_tpu.model.nn import (
+    adaptive_layernorm,
+    adaptive_layernorm_init,
+    layernorm,
+    layernorm_init,
+    linear,
+    linear_init,
+    mlp,
+    mlp_init,
+    sdpa,
+    trunc_normal_init,
+)
+from aurora_tpu.ops.masks import three_sided_padding, window_group_ids
+
+__all__ = ["BackboneConfig", "backbone_init", "backbone_apply", "maybe_adjust_windows"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    embed_dim: int = 512
+    encoder_depths: tuple[int, ...] = (6, 10, 8)
+    encoder_num_heads: tuple[int, ...] = (8, 16, 32)
+    decoder_depths: tuple[int, ...] = (8, 10, 6)
+    decoder_num_heads: tuple[int, ...] = (32, 16, 8)
+    window_size: tuple[int, int, int] = (2, 6, 12)
+    mlp_ratio: float = 4.0
+    use_lora: bool = False
+    lora_steps: int = 40
+    lora_mode: LoRAMode = "single"
+    lora_r: int = 8
+    lora_alpha: int = 8
+    remat: bool = False
+
+
+def maybe_adjust_windows(window_size, shift_size, res):
+    """Shrink windows (and zero the shift) along axes where the grid is not larger than
+    the window (reference: aurora/model/util.py:53-71)."""
+    ws, ss = list(window_size), list(shift_size)
+    for i in range(len(res)):
+        if res[i] <= window_size[i]:
+            ss[i] = 0
+            ws[i] = res[i]
+    return tuple(ws), tuple(ss)
+
+
+# ------------------------------------------------------------------ window geometry
+
+
+def pad_3d(x: jax.Array, pad: tuple[int, int, int]) -> jax.Array:
+    """Centre-pad a ``(B, C, H, W, D)`` tensor with zeros along (C, H, W)."""
+    left, right, top, bottom, front, back = three_sided_padding(*pad)
+    return jnp.pad(x, ((0, 0), (front, back), (top, bottom), (left, right), (0, 0)))
+
+
+def crop_3d(x: jax.Array, pad: tuple[int, int, int]) -> jax.Array:
+    """Inverse of :func:`pad_3d`."""
+    B, C, H, W, D = x.shape
+    left, right, top, bottom, front, back = three_sided_padding(*pad)
+    return x[:, front : C - back, top : H - bottom, left : W - right, :]
+
+
+def window_partition(x: jax.Array, ws: tuple[int, int, int]) -> jax.Array:
+    """``(B, C, H, W, D) -> (B, nW, N, D)`` with ``N = prod(ws)``.
+
+    Window order is (C-blocks, H-blocks, W-blocks), matching the mask group-id order.
+    """
+    B, C, H, W, D = x.shape
+    x = x.reshape(B, C // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2], D)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B, C1, H1, W1, wc, wh, ww, D)
+    return x.reshape(B, -1, ws[0] * ws[1] * ws[2], D)
+
+
+def window_reverse(
+    windows: jax.Array, ws: tuple[int, int, int], C: int, H: int, W: int
+) -> jax.Array:
+    """Inverse of :func:`window_partition`: ``(B, nW, N, D) -> (B, C, H, W, D)``."""
+    B = windows.shape[0]
+    D = windows.shape[-1]
+    C1, H1, W1 = C // ws[0], H // ws[1], W // ws[2]
+    x = windows.reshape(B, C1, H1, W1, ws[0], ws[1], ws[2], D)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # (B, C1, wc, H1, wh, W1, ww, D)
+    return x.reshape(B, C, H, W, D)
+
+
+# --------------------------------------------------------------------- attention
+
+
+def window_attention_init(key, dim: int, cfg: BackboneConfig, dtype=jnp.float32):
+    k_qkv, k_proj, k_lq, k_lp = jax.random.split(key, 4)
+    p = {
+        "qkv": linear_init(k_qkv, dim, dim * 3, dtype=dtype),
+        "proj": linear_init(k_proj, dim, dim, dtype=dtype),
+    }
+    if cfg.use_lora:
+        p["lora_qkv"] = lora_init(
+            k_lq, dim, dim * 3, r=cfg.lora_r, alpha=cfg.lora_alpha,
+            max_steps=cfg.lora_steps, mode=cfg.lora_mode, dtype=dtype,
+        )
+        p["lora_proj"] = lora_init(
+            k_lp, dim, dim, r=cfg.lora_r, alpha=cfg.lora_alpha,
+            max_steps=cfg.lora_steps, mode=cfg.lora_mode, dtype=dtype,
+        )
+    return p
+
+
+def window_attention_apply(
+    p,
+    x: jax.Array,
+    num_heads: int,
+    bias: Optional[jax.Array],
+    rollout_step: jax.Array,
+    cfg: BackboneConfig,
+) -> jax.Array:
+    """W-MSA over windows ``x: (B, nW, N, D)``; ``bias`` is ``(nW, N, N)`` or ``None``."""
+    B, nW, N, D = x.shape
+
+    def with_lora(name, y, out):
+        if name in p:
+            out = out + lora_apply(
+                p[name], y, rollout_step,
+                r=cfg.lora_r, alpha=cfg.lora_alpha,
+                max_steps=cfg.lora_steps, mode=cfg.lora_mode,
+            )
+        return out
+
+    qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, nW, N, 3D)
+    qkv = qkv.reshape(B, nW, N, 3, num_heads, D // num_heads)
+    qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # (3, B, nW, h, N, dh)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    if bias is not None:
+        bias = bias[None, :, None, :, :]  # (1, nW, 1, N, N)
+    out = sdpa(q, k, v, bias=bias)  # (B, nW, h, N, dh)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
+    return with_lora("lora_proj", out, linear(p["proj"], out))
+
+
+# --------------------------------------------------------------------- swin block
+
+
+def swin_block_init(key, dim: int, cfg: BackboneConfig, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "norm1": adaptive_layernorm_init(k1, dim, cfg.embed_dim, dtype=dtype),
+        "attn": window_attention_init(k2, dim, cfg, dtype=dtype),
+        "norm2": adaptive_layernorm_init(k3, dim, cfg.embed_dim, dtype=dtype),
+        "mlp": mlp_init(k4, dim, int(dim * cfg.mlp_ratio), dtype=dtype),
+    }
+
+
+def swin_block_apply(
+    p,
+    x: jax.Array,
+    c: jax.Array,
+    res: tuple[int, int, int],
+    shift_size: tuple[int, int, int],
+    num_heads: int,
+    rollout_step: jax.Array,
+    cfg: BackboneConfig,
+    warped: bool = True,
+) -> jax.Array:
+    """One LN-after Swin block: (S)W-MSA + FiLM-modulated residuals.
+
+    Reference: aurora/model/swin3d.py:440-509.
+    """
+    C, H, W = res
+    B, L, D = x.shape
+    assert L == C * H * W, f"Wrong feature size: {L} vs {C}x{H}x{W}"
+
+    ws, ss = maybe_adjust_windows(cfg.window_size, shift_size, res)
+
+    shortcut = x
+    x = x.reshape(B, C, H, W, D)
+
+    shifted = not all(s == 0 for s in ss)
+    if shifted:
+        # Under a sharded (H, W) grid, XLA lowers this roll to an ICI collective-permute
+        # (thin halo exchange — the shift never exceeds half a window).
+        x = jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+        groups = jnp.asarray(window_group_ids(C, H, W, ws, ss, warped=warped))
+        bias = jnp.where(groups[:, None, :] == groups[:, :, None], 0.0, -100.0).astype(
+            x.dtype
+        )
+    else:
+        bias = None
+
+    pad = ((-C) % ws[0], (-H) % ws[1], (-W) % ws[2])
+    xp = pad_3d(x, pad)
+    _, Cp, Hp, Wp, _ = xp.shape
+
+    windows = window_partition(xp, ws)  # (B, nW, N, D)
+    attn = window_attention_apply(p["attn"], windows, num_heads, bias, rollout_step, cfg)
+    xp = window_reverse(attn, ws, Cp, Hp, Wp)
+    x = crop_3d(xp, pad)
+
+    if shifted:
+        x = jnp.roll(x, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+
+    x = x.reshape(B, L, D)
+    x = shortcut + adaptive_layernorm(p["norm1"], x, c)
+    x = x + adaptive_layernorm(p["norm2"], mlp(p["mlp"], x), c)
+    return x
+
+
+# ------------------------------------------------------------- merge / split layers
+
+
+def patch_merge_init(key, dim: int, dtype=jnp.float32):
+    return {
+        "norm": layernorm_init(4 * dim, dtype=dtype),
+        "reduction": {"weight": trunc_normal_init(key, (4 * dim, 2 * dim), dtype=dtype)},
+    }
+
+
+def patch_merge_apply(p, x: jax.Array, res: tuple[int, int, int]) -> jax.Array:
+    """2×2 spatial merge over (H, W): ``(B, C*H*W, D) -> (B, C*(H/2)*(W/2), 2D)``.
+
+    Odd H/W are centre-padded first (reference: aurora/model/swin3d.py:526-555).
+    """
+    C, H, W = res
+    B, L, D = x.shape
+    assert L == C * H * W
+    x = x.reshape(B, C, H, W, D)
+    x = pad_3d(x, (0, H % 2, W % 2))
+    H2, W2 = x.shape[2] // 2, x.shape[3] // 2
+    x = x.reshape(B, C, H2, 2, W2, 2, D)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H2, W2, 2, 2, D)
+    x = x.reshape(B, C * H2 * W2, 4 * D)
+    x = layernorm(p["norm"], x)
+    return linear(p["reduction"], x)
+
+
+def patch_split_init(key, dim: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "lin1": {"weight": trunc_normal_init(k1, (dim, dim * 2), dtype=dtype)},
+        "lin2": {"weight": trunc_normal_init(k2, (dim // 2, dim // 2), dtype=dtype)},
+        "norm": layernorm_init(dim // 2, dtype=dtype),
+    }
+
+
+def patch_split_apply(
+    p, x: jax.Array, res: tuple[int, int, int], crop: tuple[int, int, int]
+) -> jax.Array:
+    """Inverse of patch merging: ``(B, C*H*W, D) -> (B, C*(2H)*(2W), D/2)`` with the
+    merge padding cropped away (reference: aurora/model/swin3d.py:558-613)."""
+    C, H, W = res
+    B, L, D = x.shape
+    assert L == C * H * W
+    x = linear(p["lin1"], x)  # (B, L, 2D)
+    x = x.reshape(B, C, H, W, 2, 2, D // 2)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H, 2, W, 2, D/2)
+    x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
+    x = crop_3d(x, crop)
+    x = x.reshape(B, -1, D // 2)
+    x = layernorm(p["norm"], x)
+    return linear(p["lin2"], x)
+
+
+# ------------------------------------------------------------------------ backbone
+
+
+def _basic_layer_init(key, dim: int, depth: int, cfg, down: bool, up: bool, dtype):
+    ks = jax.random.split(key, depth + 1)
+    p = {"blocks": [swin_block_init(k, dim, cfg, dtype=dtype) for k in ks[:depth]]}
+    if down:
+        p["downsample"] = patch_merge_init(ks[-1], dim, dtype=dtype)
+    if up:
+        p["upsample"] = patch_split_init(ks[-1], dim, dtype=dtype)
+    return p
+
+
+def backbone_init(key, cfg: BackboneConfig, dtype=jnp.float32):
+    assert sum(cfg.encoder_depths) == sum(cfg.decoder_depths)
+    n_enc, n_dec = len(cfg.encoder_depths), len(cfg.decoder_depths)
+    k_time, *k_layers = jax.random.split(key, 1 + n_enc + n_dec)
+    kt1, kt2 = jax.random.split(k_time)
+    params = {
+        "time_mlp": {
+            "fc1": linear_init(kt1, cfg.embed_dim, cfg.embed_dim, dtype=dtype),
+            "fc2": linear_init(kt2, cfg.embed_dim, cfg.embed_dim, dtype=dtype),
+        },
+        "encoder_layers": [
+            _basic_layer_init(
+                k_layers[i],
+                int(cfg.embed_dim * 2**i),
+                cfg.encoder_depths[i],
+                cfg,
+                down=(i < n_enc - 1),
+                up=False,
+                dtype=dtype,
+            )
+            for i in range(n_enc)
+        ],
+        "decoder_layers": [
+            _basic_layer_init(
+                k_layers[n_enc + i],
+                int(cfg.embed_dim * 2 ** (n_dec - i - 1)),
+                cfg.decoder_depths[i],
+                cfg,
+                down=False,
+                up=(i < n_dec - 1),
+                dtype=dtype,
+            )
+            for i in range(n_dec)
+        ],
+    }
+    return params
+
+
+def get_encoder_specs(cfg: BackboneConfig, patch_res: tuple[int, int, int]):
+    """Input resolution and output padding of every encoder stage
+    (reference: aurora/model/swin3d.py:868-882)."""
+    all_res = [patch_res]
+    padded_outs = []
+    for _ in range(1, len(cfg.encoder_depths)):
+        C, H, W = all_res[-1]
+        pad_H, pad_W = H % 2, W % 2
+        padded_outs.append((0, pad_H, pad_W))
+        all_res.append((C, (H + pad_H) // 2, (W + pad_W) // 2))
+    padded_outs.append((0, 0, 0))
+    return all_res, padded_outs
+
+
+def _run_blocks(p, x, c, res, num_heads, rollout_step, cfg: BackboneConfig):
+    block = swin_block_apply
+    if cfg.remat:
+        block = jax.checkpoint(
+            swin_block_apply, static_argnums=(3, 4, 5, 7), policy=None
+        )
+    for i, bp in enumerate(p["blocks"]):
+        shift = (
+            (0, 0, 0)
+            if i % 2 == 0
+            else (cfg.window_size[0] // 2, cfg.window_size[1] // 2, cfg.window_size[2] // 2)
+        )
+        x = block(bp, x, c, res, shift, num_heads, rollout_step, cfg)
+    return x
+
+
+def backbone_apply(
+    params,
+    x: jax.Array,
+    lead_time_encode: jax.Array,
+    rollout_step: jax.Array,
+    patch_res: tuple[int, int, int],
+    cfg: BackboneConfig,
+) -> jax.Array:
+    """Run the U-Net backbone over tokens ``x: (B, L, D)``.
+
+    ``lead_time_encode`` is the host-precomputed Fourier expansion of the lead time,
+    shape ``(D,)`` (see aurora_tpu/fourier.py design note).
+    """
+    B, L, D = x.shape
+    assert L == patch_res[0] * patch_res[1] * patch_res[2], "Input shape mismatch."
+    assert patch_res[0] % cfg.window_size[0] == 0, (
+        f"Patch height ({patch_res[0]}) must be divisible by ws[0] ({cfg.window_size[0]})"
+    )
+
+    all_enc_res, padded_outs = get_encoder_specs(cfg, patch_res)
+    n_dec = len(cfg.decoder_depths)
+
+    # FiLM conditioning context from the lead time.
+    lt = jnp.broadcast_to(lead_time_encode.astype(x.dtype), (B, lead_time_encode.shape[-1]))
+    c = linear(params["time_mlp"]["fc2"], jax.nn.silu(linear(params["time_mlp"]["fc1"], lt)))
+
+    skips = []
+    for i, layer in enumerate(params["encoder_layers"]):
+        x = _run_blocks(
+            layer, x, c, all_enc_res[i], cfg.encoder_num_heads[i], rollout_step, cfg
+        )
+        skips.append(x)
+        if "downsample" in layer:
+            x = patch_merge_apply(layer["downsample"], x, all_enc_res[i])
+
+    for i, layer in enumerate(params["decoder_layers"]):
+        index = n_dec - i - 1
+        x = _run_blocks(
+            layer, x, c, all_enc_res[index], cfg.decoder_num_heads[i], rollout_step, cfg
+        )
+        if "upsample" in layer:
+            x = patch_split_apply(layer["upsample"], x, all_enc_res[index], padded_outs[index - 1])
+
+        if 0 < i < n_dec - 1:
+            x = x + skips[index - 1]
+        elif i == n_dec - 1:
+            x = jnp.concatenate([x, skips[0]], axis=-1)
+    return x

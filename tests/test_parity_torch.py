@@ -1,0 +1,165 @@
+"""Numerical parity against the PyTorch reference implementation.
+
+Strategy (the HF golden pickles need network access, which tests do not have): build the
+reference model with *random* initialisation on CPU in float64, export its state dict,
+convert it with the framework's checkpoint converter, and require the two forward passes
+to agree to tight float64 tolerances. This is a strictly stronger check than the
+reference's own golden test (tests/test_model.py:27-86), which allows mean relative
+errors up to 5e-3; we require 1e-8.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import load_reference, make_batch
+
+pytestmark = pytest.mark.parity
+
+
+def _to_torch_batch(ref, batch):
+    import torch
+
+    return ref.Batch(
+        surf_vars={k: torch.from_numpy(np.asarray(v)) for k, v in batch.surf_vars.items()},
+        static_vars={k: torch.from_numpy(np.asarray(v)) for k, v in batch.static_vars.items()},
+        atmos_vars={k: torch.from_numpy(np.asarray(v)) for k, v in batch.atmos_vars.items()},
+        metadata=ref.Metadata(
+            lat=torch.from_numpy(np.asarray(batch.metadata.lat)),
+            lon=torch.from_numpy(np.asarray(batch.metadata.lon)),
+            time=batch.metadata.time,
+            atmos_levels=batch.metadata.atmos_levels,
+            rollout_step=batch.metadata.rollout_step,
+        ),
+    )
+
+
+def _convert(ref_model, cfg, dtype=jnp.float64):
+    from aurora_tpu.checkpoint import convert_torch_state_dict
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+    return convert_torch_state_dict(sd, cfg, dtype=dtype)
+
+
+def _assert_batches_close(pred, ref_pred, rtol=1e-8, equal_nan=False):
+    import torch
+
+    for k in ref_pred.surf_vars:
+        ours = np.asarray(pred.surf_vars[k])
+        theirs = ref_pred.surf_vars[k].double().numpy()
+        err = np.abs(ours - theirs).mean()
+        mag = np.abs(theirs).mean() + 1e-30
+        assert err / mag < rtol, f"surf {k}: rel err {err / mag:.3e}"
+    for k in ref_pred.atmos_vars:
+        ours = np.asarray(pred.atmos_vars[k])
+        theirs = ref_pred.atmos_vars[k].double().numpy()
+        err = np.abs(ours - theirs).mean()
+        mag = np.abs(theirs).mean() + 1e-30
+        assert err / mag < rtol, f"atmos {k}: rel err {err / mag:.3e}"
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return load_reference()
+
+
+def _run_pair(reference, ref_model, model, batch, rtol=1e-8):
+    import torch
+
+    ref_model = ref_model.double()
+    ref_model.eval()
+    params = _convert(ref_model, model.cfg)
+
+    with torch.inference_mode():
+        ref_pred = ref_model.forward(_to_torch_batch(reference, batch))
+    pred = model.forward(params, batch)
+    _assert_batches_close(pred, ref_pred, rtol=rtol)
+    return pred, ref_pred
+
+
+def test_small_forward_parity(reference):
+    from aurora_tpu import AuroraSmallPretrained
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False)
+    model = AuroraSmallPretrained()
+    batch = make_batch()
+    _run_pair(reference, ref_model, model, batch)
+
+
+def test_small_forward_parity_lora(reference):
+    """LoRA enabled with nonzero B matrices and per-step selection."""
+    import torch
+
+    from aurora_tpu import AuroraSmallPretrained
+
+    torch.manual_seed(0)
+    ref_model = reference.AuroraSmallPretrained(use_lora=True, lora_mode="all", lora_steps=3)
+    # Make the LoRA contribution nonzero.
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if "lora_B" in name:
+                p.normal_(std=0.05)
+    model = AuroraSmallPretrained(use_lora=True, lora_mode="all", lora_steps=3)
+
+    batch = make_batch()
+    pred0, ref0 = _run_pair(reference, ref_model, model, batch)
+
+    # Step 1 uses a different LoRA: feed the prediction back in.
+    batch1 = dataclasses.replace(
+        batch,
+        surf_vars={
+            k: np.concatenate([np.asarray(batch.surf_vars[k][:, 1:]), np.asarray(v)], axis=1)
+            for k, v in pred0.surf_vars.items()
+        },
+        atmos_vars={
+            k: np.concatenate([np.asarray(batch.atmos_vars[k][:, 1:]), np.asarray(v)], axis=1)
+            for k, v in pred0.atmos_vars.items()
+        },
+        metadata=pred0.metadata,
+    )
+    batch1 = dataclasses.replace(batch1, metadata=pred0.metadata)
+    _run_pair(reference, ref_model, model, batch1.crop(model.cfg.patch_size))
+
+
+def test_small_forward_parity_matrix_grid(reference):
+    from aurora_tpu import AuroraSmallPretrained
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False)
+    model = AuroraSmallPretrained()
+    batch = make_batch(H=16, matrix_grid=True)
+    _run_pair(reference, ref_model, model, batch)
+
+
+def test_small_forward_parity_stabilised(reference):
+    from aurora_tpu import AuroraSmallPretrained
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False, stabilise_level_agg=True)
+    model = AuroraSmallPretrained(stabilise_level_agg=True)
+    batch = make_batch()
+    _run_pair(reference, ref_model, model, batch)
+
+
+def test_rollout_parity(reference):
+    """Multi-step roll-out must track the reference trajectory."""
+    import torch
+
+    from aurora_tpu import AuroraSmallPretrained, rollout
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False).double()
+    ref_model.eval()
+    model = AuroraSmallPretrained()
+    params = _convert(ref_model, model.cfg)
+    batch = make_batch()
+
+    with torch.inference_mode():
+        ref_preds = [
+            p for p in reference.rollout(ref_model, _to_torch_batch(reference, batch), steps=3)
+        ]
+    preds = list(rollout(model, params, batch, steps=3))
+
+    for i, (pred, ref_pred) in enumerate(zip(preds, ref_preds)):
+        _assert_batches_close(pred, ref_pred, rtol=1e-7)
+        assert pred.metadata.rollout_step == i + 1
