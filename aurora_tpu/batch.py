@@ -417,8 +417,9 @@ def _to_netcdf_scipy(batch: Batch, path) -> None:
             dtype=np.float64,
         )
         mkvar("time", ("batch",), times)
-        rollout = f.createVariable("rollout_step", "i", ())
-        rollout.assignValue(b.metadata.rollout_step)
+        # scipy's scalar-variable write path is broken with modern NumPy; store the
+        # roll-out step as a global attribute instead.
+        f.rollout_step = int(b.metadata.rollout_step)
         for k, v in b.surf_vars.items():
             mkvar(f"surf_{k}", ("batch", "history", "latitude", "longitude"), v)
         for k, v in b.static_vars.items():
@@ -437,7 +438,10 @@ def _from_netcdf_scipy(cls, path):
         atmos = [k[len("atmos_"):] for k in names if k.startswith("atmos_")]
 
         def get(name):
-            return np.array(f.variables[name][:])
+            arr = np.array(f.variables[name][:])
+            if arr.dtype.byteorder == ">":  # netCDF3 is big-endian; JAX needs native.
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            return arr
 
         times = tuple(
             datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None)
@@ -452,6 +456,6 @@ def _from_netcdf_scipy(cls, path):
                 lon=get("longitude"),
                 time=times,
                 atmos_levels=tuple(float(x) for x in get("level")),
-                rollout_step=int(f.variables["rollout_step"].getValue()),
+                rollout_step=int(f.rollout_step),
             ),
         )

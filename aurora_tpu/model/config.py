@@ -54,6 +54,9 @@ class AuroraConfig:
     simulate_indexing_bug: bool = False
     remat: bool = False
     variant: str = "base"  # "base" | "air_pollution" | "wave" — selects in-graph hooks.
+    # Process the per-token-column level (de)aggregation in chunks of this many token
+    # columns to bound peak HBM (None = single shot). Math is chunk-size invariant.
+    agg_chunk_size: Optional[int] = None
     surf_stats: tuple[tuple[str, tuple[float, float]], ...] = ()
     density_channel_surf_vars: tuple[str, ...] = ()
     angle_surf_vars: tuple[str, ...] = ()

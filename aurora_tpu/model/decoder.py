@@ -96,9 +96,18 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
     B, L, C_A, D = level_embed.shape
     q = level_embed.reshape(B * L, C_A, D)
     ctx = x.reshape(B * L, x.shape[2], D)
-    out = perceiver_resampler_apply(
-        p_dec, q, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
-    )
+    if cfg.agg_chunk_size is not None and B * L > cfg.agg_chunk_size:
+        out = jax.lax.map(
+            lambda qc: perceiver_resampler_apply(
+                p_dec, qc[0], qc[1], cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
+            ),
+            (q, ctx),
+            batch_size=cfg.agg_chunk_size,
+        )
+    else:
+        out = perceiver_resampler_apply(
+            p_dec, q, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
+        )
     return out.reshape(B, L, C_A, D)
 
 

@@ -119,11 +119,24 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     B, C_A, L, D = x.shape
     latents = p["atmos_latents"].astype(x.dtype)  # (C_l, D)
     C_l = latents.shape[0]
-    latents = jnp.broadcast_to(latents[None, None], (B, L, C_l, D)).reshape(B * L, C_l, D)
     ctx = x.transpose(0, 2, 1, 3).reshape(B * L, C_A, D)
-    out = perceiver_resampler_apply(
-        p["level_agg"], latents, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
-    )
+
+    if cfg.agg_chunk_size is not None and B * L > cfg.agg_chunk_size:
+        # Chunk over token columns to bound peak HBM: the (B·L, C_A, D) q/k/v tensors
+        # at 0.25° would otherwise dominate memory. Columns are independent, so the
+        # result is bit-identical to the single-shot path.
+        out = jax.lax.map(
+            lambda c: perceiver_resampler_apply(
+                p["level_agg"], latents, c, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
+            ),
+            ctx,
+            batch_size=cfg.agg_chunk_size,
+        )
+    else:
+        lat_b = jnp.broadcast_to(latents[None], (B * L, C_l, D))
+        out = perceiver_resampler_apply(
+            p["level_agg"], lat_b, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
+        )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3)
 
 

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Headline benchmark: Aurora 1.3 B single-step 0.25° inference throughput.
+
+Measures grid-points/sec/chip for the flagship 1.3 B configuration on a global 0.25°
+grid (720×1440 after crop, 13 pressure levels, history 2) — the workload from
+BASELINE.md config 3. The reference publishes no throughput numbers, so ``vs_baseline``
+compares against the PyTorch reference implementation running the *same workload* on
+this host's CPU (measured once and cached in ``BENCH_baseline_torch.json``).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "grid_points/s/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_baseline_torch.json")
+
+H_FULL, W = 721, 1440
+LEVELS = (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)
+SURF = ("2t", "10u", "10v", "msl")
+STATIC = ("lsm", "z", "slt")
+ATMOS = ("z", "u", "v", "t", "q")
+B, T = 1, 2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_numpy_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        surf={k: rng.standard_normal((B, T, H_FULL, W)).astype(np.float32) for k in SURF},
+        static={k: np.abs(rng.standard_normal((H_FULL, W))).astype(np.float32) for k in STATIC},
+        atmos={
+            k: rng.standard_normal((B, T, len(LEVELS), H_FULL, W)).astype(np.float32)
+            for k in ATMOS
+        },
+        lat=np.linspace(90, -90, H_FULL),
+        lon=np.linspace(0, 360, W, endpoint=False),
+        time=(datetime(2020, 6, 1, 12),),
+    )
+
+
+def bench_jax(steps=3):
+    import jax
+    import jax.numpy as jnp
+
+    from aurora_tpu.batch import Batch, Metadata
+    from aurora_tpu.model.aurora import Aurora, init_params
+    from aurora_tpu.model.config import LARGE_CONFIG
+
+    cfg = LARGE_CONFIG.replace(autocast=True, agg_chunk_size=8192)
+    model = Aurora(cfg)
+    log("initialising 1.3B params ...")
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+    data = make_numpy_batch()
+    batch = Batch(
+        surf_vars=data["surf"],
+        static_vars=data["static"],
+        atmos_vars=data["atmos"],
+        metadata=Metadata(
+            lat=data["lat"], lon=data["lon"], time=data["time"], atmos_levels=LEVELS
+        ),
+    )
+
+    log("compiling + warmup ...")
+    t0 = time.time()
+    pred = model.forward(params, batch)
+    jax.block_until_ready(jax.tree_util.tree_leaves(pred.surf_vars))
+    log(f"first step (incl. compile): {time.time() - t0:.1f}s")
+
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        pred = model.forward(params, batch)
+        jax.block_until_ready(jax.tree_util.tree_leaves(pred.surf_vars))
+        times.append(time.time() - t0)
+    dt = min(times)
+    log(f"step times: {[f'{t:.3f}' for t in times]}")
+    grid_points = (H_FULL - 1) * W
+    return grid_points / dt, dt
+
+
+def bench_torch_reference():
+    """Measure the PyTorch reference on the same workload (CPU), cached across runs."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["grid_points_per_s"]
+    try:
+        import torch
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.conftest import load_reference
+
+        ref = load_reference()
+        log("building torch reference 1.3B ...")
+        model = ref.Aurora(use_lora=False)
+        model.eval()
+
+        data = make_numpy_batch()
+        batch = ref.Batch(
+            surf_vars={k: torch.from_numpy(v) for k, v in data["surf"].items()},
+            static_vars={k: torch.from_numpy(v) for k, v in data["static"].items()},
+            atmos_vars={k: torch.from_numpy(v) for k, v in data["atmos"].items()},
+            metadata=ref.Metadata(
+                lat=torch.from_numpy(data["lat"]).float(),
+                lon=torch.from_numpy(data["lon"]).float(),
+                time=data["time"],
+                atmos_levels=LEVELS,
+            ),
+        )
+        log("running torch reference forward (CPU) ...")
+        t0 = time.time()
+        with torch.inference_mode():
+            model.forward(batch)
+        dt = time.time() - t0
+        log(f"torch reference step: {dt:.1f}s")
+        gps = (H_FULL - 1) * W / dt
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"grid_points_per_s": gps, "seconds_per_step": dt, "hw": "host CPU"}, f)
+        return gps
+    except Exception as e:
+        log(f"torch baseline failed: {e}")
+        return None
+
+
+def main():
+    value, dt = bench_jax()
+    baseline = bench_torch_reference()
+    vs = value / baseline if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "aurora1.3b_0.25deg_single_step_inference",
+                "value": round(value, 1),
+                "unit": "grid_points/s/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

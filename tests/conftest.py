@@ -7,13 +7,15 @@ can be asserted tightly).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+# The env-var route (JAX_PLATFORMS) is overridden by the TPU harness; the config route
+# reliably forces the virtual 8-device CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from datetime import datetime  # noqa: E402

@@ -1,0 +1,60 @@
+"""Batch utility tests (regrid, netCDF round-trip, crop, normalise)."""
+
+import numpy as np
+
+from aurora_tpu import Batch
+from tests.conftest import make_batch
+
+
+def test_regrid_same_resolution_roundtrip():
+    """Regridding to (approximately) the same resolution is near-identity away from
+    the poles (reference: tests/test_batch.py:12-39)."""
+    batch = make_batch(H=19, W=36, dtype=np.float32)  # 10-degree grid (19 lats).
+    out = batch.regrid(10.0)
+    for k, v in out.surf_vars.items():
+        orig = np.asarray(batch.surf_vars[k], dtype=np.float32)
+        # Interior rows should match well (bilinear on identical nodes).
+        np.testing.assert_allclose(np.asarray(v)[..., 1:-1, :], orig[..., 1:-1, :], rtol=2e-5)
+
+
+def test_netcdf_roundtrip(tmp_path):
+    batch = make_batch(dtype=np.float32)
+    path = tmp_path / "batch.nc"
+    batch.to_netcdf(path)
+    loaded = Batch.from_netcdf(path)
+
+    for k in batch.surf_vars:
+        np.testing.assert_allclose(loaded.surf_vars[k], np.asarray(batch.surf_vars[k]))
+    for k in batch.static_vars:
+        np.testing.assert_allclose(loaded.static_vars[k], np.asarray(batch.static_vars[k]))
+    for k in batch.atmos_vars:
+        np.testing.assert_allclose(loaded.atmos_vars[k], np.asarray(batch.atmos_vars[k]))
+    np.testing.assert_allclose(loaded.metadata.lat, np.asarray(batch.metadata.lat))
+    np.testing.assert_allclose(loaded.metadata.lon, np.asarray(batch.metadata.lon))
+    assert loaded.metadata.time == batch.metadata.time
+    assert tuple(loaded.metadata.atmos_levels) == tuple(
+        float(x) for x in batch.metadata.atmos_levels
+    )
+    assert loaded.metadata.rollout_step == batch.metadata.rollout_step
+
+
+def test_crop():
+    batch = make_batch(H=17)
+    cropped = batch.crop(4)
+    assert cropped.spatial_shape == (16, 32)
+    assert len(np.asarray(cropped.metadata.lat)) == 16
+    # Already-multiple grids pass through unchanged.
+    assert batch.crop(1) is batch
+
+
+def test_normalise_roundtrip():
+    batch = make_batch(dtype=np.float64)
+    out = batch.normalise().unnormalise()
+    for k in batch.surf_vars:
+        np.testing.assert_allclose(
+            np.asarray(out.surf_vars[k]), np.asarray(batch.surf_vars[k]), rtol=1e-10
+        )
+    for k in batch.atmos_vars:
+        np.testing.assert_allclose(
+            np.asarray(out.atmos_vars[k]), np.asarray(batch.atmos_vars[k]), rtol=1e-10
+        )

@@ -1,0 +1,97 @@
+"""End-to-end serving test: real server logic, real channel, fake HTTP transport.
+
+Mirrors the reference test strategy (reference: tests/foundry/conftest.py — "fake the
+transport, run the real logic"): the full submit → task-queue → rollout → per-step
+retrieval loop runs in-process with a tiny model over a filesystem channel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aurora_tpu.foundry.models as foundry_models
+from aurora_tpu.foundry import InferenceServer, LocalFileChannel, submit
+from aurora_tpu.foundry.models import ServedModel
+from aurora_tpu.model.config import AuroraConfig
+from aurora_tpu.model.aurora import Aurora, init_params
+from tests.conftest import make_batch
+
+
+class TinyServedModel(ServedModel):
+    """A small randomly-initialised model so the test runs in seconds."""
+
+    name = "tiny-test-model"
+    model_cls = None  # Built in __init__.
+
+    def __init__(self):
+        cfg = AuroraConfig(
+            embed_dim=64,
+            num_heads=4,
+            encoder_depths=(1, 1),
+            encoder_num_heads=(2, 4),
+            decoder_depths=(1, 1),
+            decoder_num_heads=(4, 2),
+            window_size=(2, 4, 4),
+            latent_levels=2,
+            use_lora=False,
+        )
+        self.model = Aurora(cfg)
+        self.params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+
+
+class FakeFoundryClient:
+    """Drives the real InferenceServer directly instead of over HTTP."""
+
+    def __init__(self, server: InferenceServer):
+        self.server = server
+
+    def submit_task(self, data: dict) -> dict:
+        return self.server.handle({"type": "submission", "msg": data})
+
+    def get_progress(self, task_id: str) -> dict:
+        return self.server.handle({"type": "task_info", "msg": {"task_id": task_id}})
+
+
+@pytest.fixture
+def registered_tiny_model():
+    foundry_models.models["tiny-test-model"] = TinyServedModel
+    yield
+    del foundry_models.models["tiny-test-model"]
+
+
+def test_submit_end_to_end(tmp_path, registered_tiny_model):
+    server = InferenceServer()
+    client = FakeFoundryClient(server)
+    channel = LocalFileChannel(tmp_path / "comm")
+
+    batch = make_batch(H=16, W=32, levels=(500.0, 850.0), dtype=np.float32)
+    num_steps = 2
+
+    preds = list(
+        submit(
+            batch,
+            model_name="tiny-test-model",
+            num_steps=num_steps,
+            channel=channel,
+            foundry_client=client,
+        )
+    )
+    server.shutdown()
+
+    assert len(preds) == num_steps
+    for i, pred in enumerate(preds):
+        assert pred.metadata.rollout_step == i + 1
+        for v in pred.surf_vars.values():
+            assert v.shape == (1, 1, 16, 32)
+            assert np.isfinite(np.asarray(v)).all()
+
+
+def test_submit_unknown_model(tmp_path):
+    server = InferenceServer()
+    client = FakeFoundryClient(server)
+    channel = LocalFileChannel(tmp_path / "comm")
+    batch = make_batch(dtype=np.float32)
+    with pytest.raises(KeyError):
+        list(submit(batch, "not-a-model", 1, channel, client))
+    server.shutdown()

@@ -104,7 +104,7 @@ def test_small_forward_parity_lora(reference):
                 p.normal_(std=0.05)
     model = AuroraSmallPretrained(use_lora=True, lora_mode="all", lora_steps=3)
 
-    batch = make_batch()
+    batch = make_batch(H=16)
     pred0, ref0 = _run_pair(reference, ref_model, model, batch)
 
     # Step 1 uses a different LoRA: feed the prediction back in.
