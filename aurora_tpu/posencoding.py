@@ -75,10 +75,17 @@ def pos_scale_enc(
     if isinstance(patch_dims, int):
         patch_dims = (patch_dims, patch_dims)
 
-    # The reference pools the meshgrid in float32 and only the Fourier expansion runs in
-    # float64 (aurora/model/encoder.py:283, fourier.py:79); match that exactly.
-    lat = np.asarray(lat, dtype=np.float32)
-    lon = np.asarray(lon, dtype=np.float32)
+    # The reference rounds lat/lon to float32 before pooling (aurora/model/encoder.py:283)
+    # and then pools and computes patch areas *in float32* (posencoding.py:92-101). That
+    # float32 arithmetic is numerically chaotic downstream: the scale expansion's smallest
+    # wavelength is ~1.1e-4 while root areas are O(1e3), so a 1-ULP float32 difference in
+    # the area flips the high-frequency sin/cos channels completely — the reference itself
+    # produces different scale encodings on CPU vs CUDA for this reason. We keep the
+    # reference's float32 *input* rounding (those are the values the expansion sees) but do
+    # the pooling and area arithmetic in float64, which is the exact value any float32
+    # implementation is a rounding of.
+    lat = np.asarray(lat, dtype=np.float32).astype(np.float64)
+    lon = np.asarray(lon, dtype=np.float32).astype(np.float64)
     if lat.ndim == 1 and lon.ndim == 1:
         grid = lat_lon_meshgrid(lat, lon)
     elif lat.ndim == 2 and lon.ndim == 2:
