@@ -161,12 +161,14 @@ def _wave_pre_encoder(surf, cfg: AuroraConfig):
     angle variables have (loc, scale) = (0, 1), so the angles are still degrees."""
     out = dict(surf)
     for name in list(out.keys()):
+        # The original (possibly NaN) value: the sin/cos below must be computed from it,
+        # not from the zero-filled value, so masked points yield sin = cos = 0
+        # (reference captures `x` before `nan_to_num`, aurora/model/aurora.py:893-907).
         x = out[name]
         if name in cfg.density_channel_surf_vars and f"{name}_density" not in out:
             out[f"{name}_density"] = (~jnp.isnan(x)).astype(x.dtype)
             out[name] = jnp.nan_to_num(x, nan=0.0)
         if name in cfg.angle_surf_vars:
-            x = out[name]
             out[f"{name}_sin"] = jnp.nan_to_num(jnp.sin(jnp.deg2rad(x)), nan=0.0)
             out[f"{name}_cos"] = jnp.nan_to_num(jnp.cos(jnp.deg2rad(x)), nan=0.0)
             del out[name]

@@ -44,21 +44,26 @@ def _convert(ref_model, cfg, dtype=jnp.float64):
     return convert_torch_state_dict(sd, cfg, dtype=dtype)
 
 
-def _assert_batches_close(pred, ref_pred, rtol=1e-8, equal_nan=False):
-    import torch
+def _assert_close(ours, theirs, label, rtol, equal_nan):
+    if equal_nan:
+        ours_nan, theirs_nan = np.isnan(ours), np.isnan(theirs)
+        assert (ours_nan == theirs_nan).all(), f"{label}: NaN masks differ"
+        ours = np.where(ours_nan, 0.0, ours)
+        theirs = np.where(theirs_nan, 0.0, theirs)
+    err = np.abs(ours - theirs).mean()
+    mag = np.abs(theirs).mean() + 1e-30
+    assert err / mag < rtol, f"{label}: rel err {err / mag:.3e}"
 
+
+def _assert_batches_close(pred, ref_pred, rtol=1e-8, equal_nan=False):
     for k in ref_pred.surf_vars:
         ours = np.asarray(pred.surf_vars[k])
         theirs = ref_pred.surf_vars[k].double().numpy()
-        err = np.abs(ours - theirs).mean()
-        mag = np.abs(theirs).mean() + 1e-30
-        assert err / mag < rtol, f"surf {k}: rel err {err / mag:.3e}"
+        _assert_close(ours, theirs, f"surf {k}", rtol, equal_nan)
     for k in ref_pred.atmos_vars:
         ours = np.asarray(pred.atmos_vars[k])
         theirs = ref_pred.atmos_vars[k].double().numpy()
-        err = np.abs(ours - theirs).mean()
-        mag = np.abs(theirs).mean() + 1e-30
-        assert err / mag < rtol, f"atmos {k}: rel err {err / mag:.3e}"
+        _assert_close(ours, theirs, f"atmos {k}", rtol, equal_nan)
 
 
 @pytest.fixture(scope="module")
