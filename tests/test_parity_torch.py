@@ -97,11 +97,28 @@ def f64_pos_encoding(reference):
     ref_pos.pos_scale_enc_grid = orig
 
 
+def _perturb_film(ref_model, std=0.02):
+    """Randomise the zero-initialised FiLM modulation weights.
+
+    Both implementations zero-init the AdaptiveLayerNorm modulation (film.py:33-36), so at
+    random init every Swin block is exactly the identity and the attention/MLP paths would
+    not be compared at all. Real checkpoints have nonzero modulations; emulate that.
+    """
+    import torch
+
+    with torch.no_grad():
+        gen = torch.Generator().manual_seed(7)
+        for name, p in ref_model.named_parameters():
+            if "ln_modulation" in name:
+                p.normal_(std=std, generator=gen)
+
+
 def _run_pair(reference, ref_model, model, batch, rtol=1e-8):
     import torch
 
     ref_model = ref_model.double()
     ref_model.eval()
+    _perturb_film(ref_model)
     params = _convert(ref_model, model.cfg)
 
     with torch.inference_mode():

@@ -48,8 +48,11 @@ def reference():
 def _run_pair(reference, ref_model, model, batch, rtol=1e-8, equal_nan=False):
     import torch
 
+    from tests.test_parity_torch import _perturb_film
+
     ref_model = ref_model.double()
     ref_model.eval()
+    _perturb_film(ref_model)
     params = _convert(ref_model, model.cfg)
 
     with torch.inference_mode():

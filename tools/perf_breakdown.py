@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Per-stage timing of the 1.3 B 0.25° forward on the current default device.
+
+Times (a) the full jitted forward_core with device-resident inputs, (b) encoder,
+backbone and decoder in isolation, each after warm-up, so the host-transfer and
+encoding-precompute costs of Aurora.forward are excluded. Use this to direct kernel
+work; bench.py stays the headline number.
+
+Usage: python tools/perf_breakdown.py [--small] [--steps N]
+"""
+
+import argparse
+import sys
+import time
+from datetime import datetime
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def timeit(fn, *args, steps=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--H", type=int, default=721)
+    ap.add_argument("--W", type=int, default=1440)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aurora_tpu.batch import Batch, Metadata
+    from aurora_tpu.model.aurora import Aurora, forward_core, init_params
+    from aurora_tpu.model.config import LARGE_CONFIG, SMALL_CONFIG
+    from aurora_tpu.model import encoder as enc_mod
+    from aurora_tpu.model import decoder as dec_mod
+    from aurora_tpu.model import swin3d
+
+    cfg = (SMALL_CONFIG if args.small else LARGE_CONFIG).replace(
+        autocast=True, agg_chunk_size=8192
+    )
+    levels = (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)
+    H, W = args.H, args.W
+    dtype = jnp.dtype(args.dtype)
+
+    print(f"device: {jax.devices()[0].device_kind}, grid {H}x{W}, dtype {dtype}", flush=True)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e9:.2f} B", flush=True)
+
+    rng = np.random.default_rng(0)
+    B, T = 1, 2
+    batch = Batch(
+        surf_vars={k: rng.standard_normal((B, T, H, W)).astype(np.float32) for k in cfg.surf_vars},
+        static_vars={k: np.abs(rng.standard_normal((H, W))).astype(np.float32) for k in cfg.static_vars},
+        atmos_vars={
+            k: rng.standard_normal((B, T, len(levels), H, W)).astype(np.float32)
+            for k in cfg.atmos_vars
+        },
+        metadata=Metadata(
+            lat=np.linspace(90, -90, H),
+            lon=np.linspace(0, 360, W, endpoint=False),
+            time=(datetime(2020, 6, 1, 12),),
+            atmos_levels=levels,
+        ),
+    )
+    model = Aurora(cfg)
+    batch = batch.crop(cfg.patch_size)
+    Hc, Wc = batch.spatial_shape
+    enc = model.prepare_encodings(batch, dtype=jnp.float32)
+    surf = {k: jax.device_put(jnp.asarray(v, dtype)) for k, v in batch.surf_vars.items()}
+    static = {k: jax.device_put(jnp.asarray(v, dtype)) for k, v in batch.static_vars.items()}
+    atmos = {k: jax.device_put(jnp.asarray(v, dtype)) for k, v in batch.atmos_vars.items()}
+    step = jnp.asarray(0, jnp.int32)
+
+    fwd = jax.jit(
+        partial(forward_core, atmos_levels=tuple(float(x) for x in levels), cfg=cfg)
+    )
+    t, _ = timeit(fwd, params, surf, static, atmos, enc, step, steps=args.steps)
+    gp = Hc * Wc
+    print(f"forward_core (device-resident): {t*1e3:.1f} ms  -> {gp/t/1e6:.2f} M grid_points/s", flush=True)
+
+    # --- encoder alone
+    patch_res = (cfg.latent_levels, Hc // cfg.patch_size, Wc // cfg.patch_size)
+    static_exp = {k: jnp.broadcast_to(v[None, None], (B, T, Hc, Wc)) for k, v in static.items()}
+
+    enc_fn = jax.jit(
+        lambda p, s, st, a: enc_mod.encoder_apply(
+            p["encoder"], s, st, a, tuple(float(x) for x in levels), enc, cfg
+        )
+    )
+    t_enc, x_tokens = timeit(enc_fn, params, surf, static_exp, atmos, steps=args.steps)
+    print(f"encoder: {t_enc*1e3:.1f} ms   tokens {x_tokens.shape}", flush=True)
+
+    # --- backbone alone (bf16 like autocast)
+    xb = x_tokens.astype(jnp.bfloat16)
+    bb_fn = jax.jit(
+        lambda p, x: swin3d.backbone_apply(
+            p["backbone"], x, enc.lead_time, step, patch_res, cfg.backbone
+        )
+    )
+    t_bb, y = timeit(bb_fn, params, xb, steps=args.steps)
+    print(f"backbone (bf16): {t_bb*1e3:.1f} ms", flush=True)
+
+    # --- decoder alone
+    surf_names = tuple(cfg.surf_vars)
+    atmos_names = tuple(cfg.atmos_vars)
+    dec_fn = jax.jit(
+        lambda p, x: dec_mod.decoder_apply(
+            p["decoder"], x.astype(jnp.float32), surf_names, atmos_names,
+            tuple(float(x) for x in levels), enc.levels_dec, patch_res, Hc, Wc, cfg,
+        )
+    )
+    t_dec, _ = timeit(dec_fn, params, y, steps=args.steps)
+    print(f"decoder: {t_dec*1e3:.1f} ms", flush=True)
+    print(f"sum enc+bb+dec: {(t_enc+t_bb+t_dec)*1e3:.1f} ms vs full {t*1e3:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
