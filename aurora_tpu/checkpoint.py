@@ -370,6 +370,30 @@ def load_torch_checkpoint(
     return params
 
 
+def load_checkpoint(
+    model,
+    repo: str | None = None,
+    name: str | None = None,
+    revision: str | None = None,
+    dtype=jnp.float32,
+    strict: bool = True,
+) -> dict:
+    """Download a released checkpoint from the HF hub and convert it.
+
+    Equivalent of reference ``Aurora.load_checkpoint`` (aurora.py:409-430): resolves the
+    per-variant default (repo, file, pinned revision) from the model class, downloads via
+    ``huggingface_hub`` (cached), and converts with :func:`load_torch_checkpoint`.
+    Requires network access on first use.
+    """
+    from huggingface_hub import hf_hub_download
+
+    repo = repo or getattr(model, "default_checkpoint_repo", "microsoft/aurora")
+    name = name or model.default_checkpoint_name
+    revision = revision or model.default_checkpoint_revision
+    path = hf_hub_download(repo_id=repo, filename=name, revision=revision)
+    return load_torch_checkpoint(path, model.cfg, dtype=dtype, strict=strict)
+
+
 # --------------------------------------------------------------------- native I/O
 
 

@@ -344,6 +344,11 @@ class Aurora:
 
     config_cls_overrides: dict = {}
 
+    # Released-checkpoint identity (reference aurora.py:46-53); pinned revisions.
+    default_checkpoint_repo = "microsoft/aurora"
+    default_checkpoint_name = "aurora-0.25-finetuned.ckpt"
+    default_checkpoint_revision = "0be7e57c685dac86b78c4a19a3ab149d13c6a3dd"
+
     def __init__(self, cfg: Optional[AuroraConfig] = None, **overrides):
         base = cfg or self.default_config()
         if overrides:
@@ -359,6 +364,22 @@ class Aurora:
     def init(self, key=None, dtype=jnp.float32):
         key = key if key is not None else jax.random.PRNGKey(0)
         return init_params(key, self.cfg, dtype=dtype)
+
+    # -- checkpoints
+
+    def load_checkpoint(self, repo=None, name=None, revision=None, dtype=jnp.float32,
+                        strict: bool = True):
+        """Download + convert this variant's released checkpoint (HF hub, pinned rev)."""
+        from aurora_tpu.checkpoint import load_checkpoint
+
+        return load_checkpoint(self, repo=repo, name=name, revision=revision,
+                               dtype=dtype, strict=strict)
+
+    def load_checkpoint_local(self, path, dtype=jnp.float32, strict: bool = True):
+        """Convert a local reference ``.ckpt`` file into a parameter pytree."""
+        from aurora_tpu.checkpoint import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, self.cfg, dtype=dtype, strict=strict)
 
     # -- hooks (host side)
 
@@ -455,12 +476,16 @@ class Aurora:
 
 
 class AuroraPretrained(Aurora):
+    default_checkpoint_name = "aurora-0.25-pretrained.ckpt"
+    default_checkpoint_revision = "0be7e57c685dac86b78c4a19a3ab149d13c6a3dd"
     @classmethod
     def default_config(cls):
         return LARGE_CONFIG
 
 
 class AuroraSmallPretrained(Aurora):
+    default_checkpoint_name = "aurora-0.25-small-pretrained.ckpt"
+    default_checkpoint_revision = "0be7e57c685dac86b78c4a19a3ab149d13c6a3dd"
     @classmethod
     def default_config(cls):
         return SMALL_CONFIG
@@ -470,12 +495,16 @@ AuroraSmall = AuroraSmallPretrained
 
 
 class Aurora12hPretrained(Aurora):
+    default_checkpoint_name = "aurora-0.25-12h-pretrained.ckpt"
+    default_checkpoint_revision = "15e76e47b65bf4b28fd2246b7b5b951d6e2443b9"
     @classmethod
     def default_config(cls):
         return LARGE_CONFIG.replace(timestep_hours=12.0)
 
 
 class AuroraHighRes(Aurora):
+    default_checkpoint_name = "aurora-0.1-finetuned.ckpt"
+    default_checkpoint_revision = "0be7e57c685dac86b78c4a19a3ab149d13c6a3dd"
     @classmethod
     def default_config(cls):
         return HIGHRES_CONFIG.replace(use_lora=True)
@@ -483,6 +512,9 @@ class AuroraHighRes(Aurora):
 
 class AuroraAirPollution(Aurora):
     """Air-pollution fine-tune (reference: aurora/model/aurora.py:646-801)."""
+
+    default_checkpoint_name = "aurora-0.4-air-pollution.ckpt"
+    default_checkpoint_revision = "1764d5630a53d3d7a7d169ca335236fc343e4bfc"
 
     @classmethod
     def default_config(cls):
@@ -513,6 +545,9 @@ class AuroraAirPollution(Aurora):
 
 class AuroraWave(Aurora):
     """Ocean-wave fine-tune (reference: aurora/model/aurora.py:804-932)."""
+
+    default_checkpoint_name = "aurora-0.25-wave.ckpt"
+    default_checkpoint_revision = "74598e8c65d53a96077c08bb91acdfa5525340c9"
 
     @classmethod
     def default_config(cls):
