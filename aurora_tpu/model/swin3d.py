@@ -21,6 +21,7 @@ skip at the final stage (aurora/model/swin3d.py:884-936).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -40,7 +41,11 @@ from aurora_tpu.model.nn import (
     sdpa,
     trunc_normal_init,
 )
-from aurora_tpu.ops.masks import three_sided_padding, window_group_ids
+from aurora_tpu.ops.masks import (
+    three_sided_padding,
+    window_bias_from_groups,
+    window_group_ids,
+)
 
 __all__ = ["BackboneConfig", "backbone_init", "backbone_apply", "maybe_adjust_windows"]
 
@@ -60,6 +65,8 @@ class BackboneConfig:
     lora_r: int = 8
     lora_alpha: int = 8
     remat: bool = False
+    # "auto" = Pallas fused kernel on TPU, plain XLA elsewhere.
+    attention_impl: str = "auto"
 
 
 def maybe_adjust_windows(window_size, shift_size, res):
@@ -137,11 +144,17 @@ def window_attention_apply(
     p,
     x: jax.Array,
     num_heads: int,
-    bias: Optional[jax.Array],
+    groups,
     rollout_step: jax.Array,
     cfg: BackboneConfig,
 ) -> jax.Array:
-    """W-MSA over windows ``x: (B, nW, N, D)``; ``bias`` is ``(nW, N, N)`` or ``None``."""
+    """W-MSA over windows ``x: (B, nW, N, D)``.
+
+    ``groups`` are per-token communication-group ids ``(nW, N)`` (NumPy, traced-static)
+    or ``None`` for unmasked windows. The QKV/projection GEMMs and head-split layout run
+    in XLA (it fuses them well); the masked softmax-attention core dispatches to a
+    Pallas kernel on TPU so the (N, N) logits never touch HBM.
+    """
     B, nW, N, D = x.shape
 
     def with_lora(name, y, out):
@@ -158,11 +171,97 @@ def window_attention_apply(
     qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # (3, B, nW, h, N, dh)
     q, k, v = qkv[0], qkv[1], qkv[2]
 
-    if bias is not None:
-        bias = bias[None, :, None, :, :]  # (1, nW, 1, N, N)
-    out = sdpa(q, k, v, bias=bias)  # (B, nW, h, N, dh)
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        out = _sdpa_windows_pallas(q, k, v, groups)  # (B, nW, h, N, dh)
+    else:
+        bias = None
+        if groups is not None:
+            g = jnp.asarray(groups)
+            bias = jnp.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(
+                jnp.float32
+            )[None, :, None, :, :]
+        out = sdpa(q, k, v, bias=bias)
     out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
     return with_lora("lora_proj", out, linear(p["proj"], out))
+
+
+def _sdpa_windows_pallas(q, k, v, groups):
+    """Pallas TPU kernel: masked SDPA over windows, one (window-block, head) grid step.
+
+    ``q, k, v``: ``(B, nW, h, N, dh)``. The (N, N) logits and the softmax live entirely
+    in VMEM — XLA's generic lowering materialises them in HBM (hundreds of MB per layer
+    at 0.25 deg, the dominant attention cost). The mask is a host-precomputed per-window
+    additive bias (cached per geometry, see aurora_tpu/ops/masks.py), streamed per block.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nW, h, N, dh = q.shape
+    masked = groups is not None
+    scale = 1.0 / math.sqrt(dh)
+
+    per_window = N * 4 * dh * q.dtype.itemsize + (N * N * 4 if masked else 0)
+    budget = max(1, (1024 * 1024) // per_window)
+    KW = 1
+    for cand in range(min(nW, budget), 0, -1):
+        if nW % cand == 0:
+            KW = cand
+            break
+
+    def kernel(*args):
+        if masked:
+            b_ref, q_ref, k_ref, v_ref, out_ref = args
+        else:
+            q_ref, k_ref, v_ref, out_ref = args
+        qb = q_ref[0, :, 0]  # (KW, N, dh)
+        kb = k_ref[0, :, 0]
+        vb = v_ref[0, :, 0]
+        logits = (
+            jax.lax.dot_general(
+                qb, kb,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (KW, N, N)
+        if masked:
+            logits = logits + b_ref[...]
+        w = jax.nn.softmax(logits, axis=-1).astype(vb.dtype)
+        out_ref[0, :, 0] = jax.lax.dot_general(
+            w, vb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(vb.dtype)
+
+    spec = pl.BlockSpec(
+        (1, KW, 1, N, dh), lambda b, i, hh: (b, i, hh, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [spec, spec, spec]
+    inputs = [q, k, v]
+    if masked:
+        in_specs.insert(
+            0,
+            pl.BlockSpec((KW, N, N), lambda b, i, hh: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nW // KW, h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, KW, 1, N, dh), lambda b, i, hh: (b, i, hh, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nW, h, N, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * nW * h * N * N * dh,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=B * nW * h * N * N,
+        ),
+    )(*inputs)
 
 
 # --------------------------------------------------------------------- swin block
@@ -207,19 +306,16 @@ def swin_block_apply(
         # Under a sharded (H, W) grid, XLA lowers this roll to an ICI collective-permute
         # (thin halo exchange — the shift never exceeds half a window).
         x = jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
-        groups = jnp.asarray(window_group_ids(C, H, W, ws, ss, warped=warped))
-        bias = jnp.where(groups[:, None, :] == groups[:, :, None], 0.0, -100.0).astype(
-            x.dtype
-        )
+        groups = window_group_ids(C, H, W, ws, ss, warped=warped)
     else:
-        bias = None
+        groups = None
 
     pad = ((-C) % ws[0], (-H) % ws[1], (-W) % ws[2])
     xp = pad_3d(x, pad)
     _, Cp, Hp, Wp, _ = xp.shape
 
     windows = window_partition(xp, ws)  # (B, nW, N, D)
-    attn = window_attention_apply(p["attn"], windows, num_heads, bias, rollout_step, cfg)
+    attn = window_attention_apply(p["attn"], windows, num_heads, groups, rollout_step, cfg)
     xp = window_reverse(attn, ws, Cp, Hp, Wp)
     x = crop_3d(xp, pad)
 

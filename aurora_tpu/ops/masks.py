@@ -18,7 +18,7 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["window_group_ids", "get_3d_merge_groups", "two_sided_padding", "three_sided_padding"]
+__all__ = ["window_group_ids", "window_bias_from_groups", "get_3d_merge_groups", "two_sided_padding", "three_sided_padding"]
 
 
 def two_sided_padding(h_padding: int, w_padding: int) -> tuple[int, int, int, int]:
@@ -92,3 +92,18 @@ def window_group_ids(
     img = img.reshape(Cp // ws[0], ws[0], Hp // ws[1], ws[1], Wp // ws[2], ws[2])
     img = img.transpose(0, 2, 4, 1, 3, 5)  # (C1, H1, W1, wc, wh, ww)
     return np.ascontiguousarray(img.reshape(-1, ws[0] * ws[1] * ws[2]))
+
+
+def window_bias_from_groups(groups: np.ndarray) -> np.ndarray:
+    """Additive attention bias ``(nW, N, N)`` float32 from group ids (cached).
+
+    0 where the group ids match, -100 otherwise — the reference's mask values
+    (aurora/model/swin3d.py:357-358).
+    """
+    return _window_bias_cached(groups.tobytes(), groups.shape)
+
+
+@lru_cache(maxsize=32)
+def _window_bias_cached(g_bytes: bytes, shape) -> np.ndarray:
+    g = np.frombuffer(g_bytes, dtype=np.int32).reshape(shape)
+    return np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)

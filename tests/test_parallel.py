@@ -1,0 +1,89 @@
+"""Multi-chip sharding correctness on the virtual 8-device CPU mesh.
+
+The token grid is sharded over (lat, lon) and the batch over data; XLA inserts the
+halo-exchange collectives for the shifted-window rolls. Sharded execution must agree
+with single-device execution to float32 tolerance.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu import AuroraSmallPretrained
+from aurora_tpu.model.aurora import forward_core
+from aurora_tpu.parallel.mesh import auto_mesh
+from aurora_tpu.parallel.sharding import shard_batch_arrays, shard_params
+from tests.conftest import make_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = AuroraSmallPretrained()
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    batch = make_batch(H=33, W=64, B=2, dtype=np.float32).crop(model.cfg.patch_size)
+    enc = model.prepare_encodings(batch)
+    surf = {k: jnp.asarray(np.asarray(v)) for k, v in batch.surf_vars.items()}
+    static = {k: jnp.asarray(np.asarray(v)) for k, v in batch.static_vars.items()}
+    atmos = {k: jnp.asarray(np.asarray(v)) for k, v in batch.atmos_vars.items()}
+    step = jnp.asarray(0, jnp.int32)
+    levels = tuple(batch.metadata.atmos_levels)
+    return model, params, surf, static, atmos, enc, step, levels
+
+
+def test_sharded_forward_matches_single_device(setup):
+    model, params, surf, static, atmos, enc, step, levels = setup
+    ref_surf, ref_atmos = jax.jit(
+        forward_core, static_argnames=("atmos_levels", "cfg")
+    )(params, surf, static, atmos, enc, step, atmos_levels=levels, cfg=model.cfg)
+
+    mesh = auto_mesh(8)
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+    with jax.set_mesh(mesh):
+        p_sh = shard_params(params, mesh)
+        s_sh, st_sh, a_sh = shard_batch_arrays(surf, static, atmos, mesh)
+        out_surf, out_atmos = jax.jit(
+            forward_core, static_argnames=("atmos_levels", "cfg")
+        )(p_sh, s_sh, st_sh, a_sh, enc, step, atmos_levels=levels, cfg=model.cfg)
+
+    for k in ref_surf:
+        a, b = np.asarray(ref_surf[k]), np.asarray(out_surf[k])
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+        assert err < 1e-5, f"surf {k}: sharded mismatch {err:.3e}"
+    for k in ref_atmos:
+        a, b = np.asarray(ref_atmos[k]), np.asarray(out_atmos[k])
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+        assert err < 1e-5, f"atmos {k}: sharded mismatch {err:.3e}"
+
+
+def test_sharded_train_step_runs(setup):
+    import optax
+
+    from aurora_tpu.training.train import adamw, make_train_step
+
+    model, params, surf, static, atmos, enc, step, levels = setup
+    cfg = model.cfg.replace(remat=True)
+    B = next(iter(surf.values())).shape[0]
+    H, W = next(iter(surf.values())).shape[-2:]
+    tgt_surf = {k: jnp.zeros((B, H, W), jnp.float32) for k in cfg.surf_vars}
+    tgt_atmos = {k: jnp.zeros((B, len(levels), H, W), jnp.float32) for k in cfg.atmos_vars}
+
+    optimizer = adamw(1e-4)
+    train_step = make_train_step(cfg, optimizer, levels)
+    mesh = auto_mesh(8)
+    with jax.set_mesh(mesh):
+        p_sh = shard_params(params, mesh)
+        opt_state = optimizer.init(p_sh)
+        s_sh, st_sh, a_sh = shard_batch_arrays(surf, static, atmos, mesh)
+        # The step donates the params buffer; snapshot a leaf before running. Use a
+        # leaf that certainly receives gradient (the surface patch-embed kernel).
+        leaf0 = np.asarray(p_sh["encoder"]["surf_token_embeds"]["weights"]["2t"])
+        p2, opt_state, loss = train_step(
+            p_sh, opt_state, s_sh, st_sh, a_sh, enc, step, tgt_surf, tgt_atmos
+        )
+    assert np.isfinite(float(loss))
+    # Parameters actually moved.
+    leaf1 = np.asarray(p2["encoder"]["surf_token_embeds"]["weights"]["2t"])
+    assert not np.allclose(leaf0, leaf1)
