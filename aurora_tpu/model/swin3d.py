@@ -167,16 +167,17 @@ def window_attention_apply(
         return out
 
     qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, nW, N, 3D)
-    qkv = qkv.reshape(B, nW, N, 3, num_heads, D // num_heads)
-    qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # (3, B, nW, h, N, dh)
-    q, k, v = qkv[0], qkv[1], qkv[2]
 
     impl = cfg.attention_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        out = _sdpa_windows_pallas(q, k, v, groups)  # (B, nW, h, N, dh)
+        # Consumes the packed (qkv, head, dh) layout directly: no head transposes.
+        out = _sdpa_windows_fused_pallas(qkv, num_heads, groups)  # (B, nW, N, D)
     else:
+        qkv = qkv.reshape(B, nW, N, 3, num_heads, D // num_heads)
+        qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # (3, B, nW, h, N, dh)
+        q, k, v = qkv[0], qkv[1], qkv[2]
         bias = None
         if groups is not None:
             g = jnp.asarray(groups)
@@ -184,8 +185,91 @@ def window_attention_apply(
                 jnp.float32
             )[None, :, None, :, :]
         out = sdpa(q, k, v, bias=bias)
-    out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
     return with_lora("lora_proj", out, linear(p["proj"], out))
+
+
+def _sdpa_windows_fused_pallas(windows, num_heads, groups):
+    """Pallas TPU kernel over raw windows ``(B, nW, N, 3D)`` -> ``(B, nW, N, D)``.
+
+    Consumes the window-partition layout directly — no XLA head-split/merge transposes
+    (those cost ~4 full-tensor relayouts per block). Heads are lane slices of the packed
+    (qkv, head, dh) feature dim inside VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nW, N, D3 = windows.shape
+    D = D3 // 3
+    h = num_heads
+    dh = D // h
+    masked = groups is not None
+    scale = 1.0 / math.sqrt(dh)
+
+    per_window = N * 4 * D * windows.dtype.itemsize + (N * N * 4 if masked else 0)
+    budget = max(1, (1024 * 1024) // per_window)
+    KW = 1
+    for cand in range(min(nW, budget), 0, -1):
+        if nW % cand == 0:
+            KW = cand
+            break
+
+    def kernel(*args):
+        if masked:
+            b_ref, x_ref, out_ref = args
+        else:
+            x_ref, out_ref = args
+        x = x_ref[0]  # (KW, N, 3D)
+        outs = []
+        for hh in range(h):
+            q = x[..., hh * dh : (hh + 1) * dh]
+            k = x[..., D + hh * dh : D + (hh + 1) * dh]
+            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
+            logits = (
+                jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            if masked:
+                logits = logits + b_ref[...]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    w, v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    in_specs = [
+        pl.BlockSpec((1, KW, N, 3 * D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    inputs = [windows]
+    if masked:
+        in_specs.insert(
+            0,
+            pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nW // KW),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, KW, N, D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nW, N, D), windows.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * nW * h * N * N * dh,
+            bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3,
+            transcendentals=B * nW * h * N * N,
+        ),
+    )(*inputs)
 
 
 def _sdpa_windows_pallas(q, k, v, groups):
