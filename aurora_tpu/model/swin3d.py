@@ -41,6 +41,7 @@ from aurora_tpu.model.nn import (
     sdpa,
     trunc_normal_init,
 )
+from aurora_tpu.ops.mlp import mlp_fused
 from aurora_tpu.ops.masks import (
     three_sided_padding,
     window_bias_from_groups,
@@ -408,7 +409,18 @@ def swin_block_apply(
 
     x = x.reshape(B, L, D)
     x = shortcut + adaptive_layernorm(p["norm1"], x, c)
-    x = x + adaptive_layernorm(p["norm2"], mlp(p["mlp"], x), c)
+
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        mp = p["mlp"]
+        mlp_out = mlp_fused(
+            x, mp["fc1"]["weight"], mp["fc1"]["bias"], mp["fc2"]["weight"], mp["fc2"]["bias"]
+        )
+    else:
+        mlp_out = mlp(p["mlp"], x)
+    x = x + adaptive_layernorm(p["norm2"], mlp_out, c)
     return x
 
 

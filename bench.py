@@ -89,16 +89,21 @@ def bench_jax(steps=3):
     surf = {k: jax.device_put(jnp.asarray(v)) for k, v in cropped.surf_vars.items()}
     static = {k: jax.device_put(jnp.asarray(v)) for k, v in cropped.static_vars.items()}
     atmos = {k: jax.device_put(jnp.asarray(v)) for k, v in cropped.atmos_vars.items()}
-    step_idx = jnp.asarray(0, jnp.int32)
     fwd = jax.jit(partial(forward_core, atmos_levels=tuple(float(x) for x in LEVELS), cfg=cfg))
-    out = fwd(params, surf, static, atmos, enc, step_idx)
-    jax.block_until_ready(out)
 
+    # Remote-tunnelled TPU runtimes neither block reliably in block_until_ready nor
+    # re-execute identical dispatches: sync by fetching a scalar from the output and
+    # vary the (traced) roll-out step so every iteration is a fresh execution.
+    def run(i):
+        out = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(leaf).ravel()[0])
+
+    run(0)
     times = []
-    for _ in range(steps):
+    for i in range(steps):
         t0 = time.time()
-        out = fwd(params, surf, static, atmos, enc, step_idx)
-        jax.block_until_ready(out)
+        run(i)
         times.append(time.time() - t0)
     dt = min(times)
     log(f"device-resident step times: {[f'{t:.3f}' for t in times]}")

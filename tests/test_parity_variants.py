@@ -158,3 +158,27 @@ def test_wave_parity(reference, f64_pos_encoding):  # noqa: F811
     # NaN masking must have engaged on both sides.
     assert np.isnan(ref_batch_t.surf_vars["swh"].numpy()).any()
     _run_pair(reference, ref_model, model, batch, equal_nan=True)
+
+
+def test_12h_timestep_parity(reference, f64_pos_encoding):  # noqa: F811
+    """The 12 h variant changes the lead-time encoding and metadata advancement."""
+    from datetime import timedelta
+
+    from aurora_tpu import Aurora12hPretrained
+
+    ref_model = reference.Aurora12hPretrained(**SMALL_ARCH, use_lora=False)
+    model = Aurora12hPretrained(**SMALL_ARCH, use_lora=False)
+    batch = make_batch()
+    pred, _ = _run_pair(reference, ref_model, model, batch)
+    assert pred.metadata.time[0] - batch.metadata.time[0] == timedelta(hours=12)
+
+
+def test_highres_patch10_parity(reference, f64_pos_encoding):  # noqa: F811
+    """Patch size 10 exercises different patch-embed and unpatchify geometry."""
+    from aurora_tpu import AuroraHighRes
+
+    kw = dict(**SMALL_ARCH, use_lora=False)
+    ref_model = reference.AuroraHighRes(**kw)
+    model = AuroraHighRes(**kw)
+    batch = make_batch(H=21, W=40)  # crops to 20x40 with patch 10 -> 2x4 patches
+    _run_pair(reference, ref_model, model, batch)
