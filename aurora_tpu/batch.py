@@ -315,8 +315,22 @@ def interpolate_numpy(
     """Bilinear interpolation on the sphere with periodic longitude wrap-around.
 
     Latitudes out of range are linearly extrapolated (reference behaviour:
-    aurora/batch.py:320-362).
+    aurora/batch.py:320-362). Uses the native C++ kernel when the toolchain is
+    available (aurora_tpu/native, ~1e-16 agreement with the scipy path) and scipy
+    otherwise.
     """
+    from aurora_tpu.native import regrid_bilinear
+
+    native = regrid_bilinear(
+        np.asarray(v, dtype=np.float64),
+        np.asarray(lat, dtype=np.float64),
+        np.asarray(lon, dtype=np.float64),
+        np.asarray(lat_new, dtype=np.float64),
+        np.asarray(lon_new, dtype=np.float64),
+    )
+    if native is not None:
+        return native
+
     from scipy.interpolate import RegularGridInterpolator as RGI
 
     assert (np.diff(lon) > 0).all()
