@@ -94,16 +94,21 @@ def window_group_ids(
     return np.ascontiguousarray(img.reshape(-1, ws[0] * ws[1] * ws[2]))
 
 
-def window_bias_from_groups(groups: np.ndarray) -> np.ndarray:
+def window_bias_from_groups(groups: np.ndarray):
     """Additive attention bias ``(nW, N, N)`` float32 from group ids (cached).
 
     0 where the group ids match, -100 otherwise — the reference's mask values
-    (aurora/model/swin3d.py:357-358).
+    (aurora/model/swin3d.py:357-358). Returns a cached ``jax.numpy`` array so every
+    block with the same geometry shares ONE graph constant (the stage-1 bias is
+    ~150 MB; without caching each masked block would bake its own copy).
     """
     return _window_bias_cached(groups.tobytes(), groups.shape)
 
 
 @lru_cache(maxsize=32)
-def _window_bias_cached(g_bytes: bytes, shape) -> np.ndarray:
+def _window_bias_cached(g_bytes: bytes, shape):
+    import jax.numpy as jnp
+
     g = np.frombuffer(g_bytes, dtype=np.int32).reshape(shape)
-    return np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
+    bias = np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
+    return jnp.asarray(bias)
