@@ -211,3 +211,72 @@ def test_rollout_parity(reference, f64_pos_encoding):
     for i, (pred, ref_pred) in enumerate(zip(preds, ref_preds)):
         _assert_batches_close(pred, ref_pred, rtol=1e-7)
         assert pred.metadata.rollout_step == i + 1
+
+
+def test_small_forward_parity_padded_windows(reference, f64_pos_encoding):
+    """A grid whose token rows/cols are NOT window multiples: exercises the centred
+    two-sided padding and the pad-token masking in shifted blocks
+    (reference: aurora/model/swin3d.py:177-194, 303-360)."""
+    from aurora_tpu import AuroraSmallPretrained
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False)
+    model = AuroraSmallPretrained()
+    # 29 lats crop to 28 -> 7 token rows (pad to 12); 52 lons -> 13 token cols (pad to 24).
+    batch = make_batch(H=29, W=52)
+    _run_pair(reference, ref_model, model, batch)
+
+
+def test_window_masks_match_reference(reference):
+    """Our group-id masks must reproduce the reference's additive masks exactly,
+    including the longitude wrap-around merging (swin3d.py:288-360)."""
+    import torch
+
+    from aurora.model.swin3d import compute_3d_shifted_window_mask
+
+    from aurora_tpu.ops.masks import window_bias_from_groups, window_group_ids
+
+    for (C, H, W), ws, ss in [
+        ((4, 12, 24), (2, 6, 12), (1, 3, 6)),
+        ((4, 7, 13), (2, 6, 12), (1, 3, 6)),   # padding in both spatial dims
+        ((2, 8, 8), (2, 4, 4), (1, 2, 2)),
+        ((4, 45, 90), (2, 6, 12), (1, 3, 6)),  # stage-3-like odd grid
+    ]:
+        for warped in (True, False):
+            ref_mask, _ = compute_3d_shifted_window_mask(
+                C, H, W, ws, ss, torch.device("cpu"), warped=warped, dtype=torch.float64
+            )
+            groups = window_group_ids(C, H, W, ws, ss, warped=warped)
+            ours = np.asarray(window_bias_from_groups(groups))
+            theirs = ref_mask.squeeze(1).numpy() if ref_mask.dim() == 4 else ref_mask.numpy()
+            assert ours.shape == theirs.shape, (ours.shape, theirs.shape)
+            np.testing.assert_array_equal(ours, theirs, err_msg=f"{(C,H,W,ws,ss,warped)}")
+
+
+def test_rollout_parity_f32_10steps(reference, f64_pos_encoding):
+    """Ten f32 roll-out steps must track the f32 reference within golden-test-style
+    tolerances (reference tests/test_model.py:45-61 allows mean rel err 1e-4..5e-3 for a
+    single f64 step; f32 trajectories accumulate rounding, so the bar here is 1e-3 at
+    step 0 growing to 5e-2 by step 9 — both implementations drift from the true f64
+    trajectory at the same rate)."""
+    import torch
+
+    from aurora_tpu import AuroraSmallPretrained, rollout
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False).float()
+    ref_model.eval()
+    _perturb_film(ref_model, std=0.02)
+    model = AuroraSmallPretrained()
+    params = _convert(ref_model, model.cfg, dtype=jnp.float32)
+    batch = make_batch(dtype=np.float32)
+
+    with torch.inference_mode():
+        ref_preds = list(reference.rollout(ref_model, _to_torch_batch(reference, batch), steps=10))
+    preds = list(rollout(model, params, batch, steps=10))
+
+    for i, (pred, ref_pred) in enumerate(zip(preds, ref_preds)):
+        tol = 1e-3 * (1.5 ** i)
+        for k in ("2t", "msl"):
+            ours = np.asarray(pred.surf_vars[k], dtype=np.float64)
+            theirs = ref_pred.surf_vars[k].double().numpy()
+            err = np.abs(ours - theirs).mean() / (np.abs(theirs).mean() + 1e-30)
+            assert err < tol, f"step {i} {k}: rel err {err:.3e} > {tol:.1e}"
