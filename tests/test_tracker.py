@@ -89,3 +89,43 @@ def test_select_box_wraps():
 def test_haversine():
     # Quarter of the equator.
     assert abs(haversine_km(0, 0, 0, 90) - np.pi / 2 * 6371) < 1
+
+
+def test_tracker_matches_reference():
+    """Our tracker must produce the same fixes as the reference tracker on the same
+    synthetic storm (reference: aurora/tracker.py)."""
+    from tests.conftest import load_reference
+
+    ref = load_reference()
+    import torch
+    from aurora.tracker import Tracker as RefTracker
+
+    t0 = datetime(2020, 9, 1)
+    ours = Tracker(init_lat=20.0, init_lon=200.0, init_time=t0)
+    theirs = RefTracker(init_lat=20.0, init_lon=200.0, init_time=t0)
+
+    for i in range(1, 6):
+        eye_lat, eye_lon = 20.0 + i, 200.0 - i * 1.5
+        b = _storm_batch(eye_lat, eye_lon, t0 + i * timedelta(hours=6))
+        ours.step(b)
+        tb = ref.Batch(
+            surf_vars={k: torch.from_numpy(np.asarray(v)) for k, v in b.surf_vars.items()},
+            static_vars={k: torch.from_numpy(np.asarray(v)) for k, v in b.static_vars.items()},
+            atmos_vars={k: torch.from_numpy(np.asarray(v)) for k, v in b.atmos_vars.items()},
+            metadata=ref.Metadata(
+                lat=torch.from_numpy(np.asarray(b.metadata.lat)),
+                lon=torch.from_numpy(np.asarray(b.metadata.lon)),
+                time=b.metadata.time,
+                atmos_levels=b.metadata.atmos_levels,
+                rollout_step=b.metadata.rollout_step,
+            ),
+        )
+        theirs.step(tb)
+
+    df_o = ours.results()
+    df_t = theirs.results()
+    assert len(df_o) == len(df_t)
+    np.testing.assert_allclose(df_o.lat.values, df_t.lat.values, atol=1e-6)
+    np.testing.assert_allclose(df_o.lon.values, df_t.lon.values, atol=1e-6)
+    np.testing.assert_allclose(df_o.msl.values, df_t.msl.values, rtol=1e-6)
+    np.testing.assert_allclose(df_o.wind.values, df_t.wind.values, rtol=1e-6)
