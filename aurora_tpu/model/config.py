@@ -53,6 +53,9 @@ class AuroraConfig:
     clamp_at_first_step: bool = False
     simulate_indexing_bug: bool = False
     remat: bool = False
+    # "auto" = Pallas kernels on TPU, plain XLA elsewhere; "xla" forces the XLA path.
+    attention_impl: str = "auto"
+    mlp_impl: str = "xla"
     variant: str = "base"  # "base" | "air_pollution" | "wave" — selects in-graph hooks.
     # Process the per-token-column level (de)aggregation in chunks of this many token
     # columns to bound peak HBM (None = single shot). Math is chunk-size invariant.
@@ -104,6 +107,8 @@ class AuroraConfig:
             lora_steps=self.lora_steps,
             lora_mode=self.lora_mode,
             remat=self.remat,
+            attention_impl=self.attention_impl,
+            mlp_impl=self.mlp_impl,
         )
 
     @property

@@ -20,13 +20,26 @@ __all__ = ["decoder_init", "decoder_apply", "unpatchify"]
 
 
 def unpatchify(x: jax.Array, V: int, H: int, W: int, P: int) -> jax.Array:
-    """``(B, L, C, V*P²) -> (B, V, C, H, W)`` (reference: aurora/model/util.py:18-41)."""
+    """``(B, L, C, V*P²) -> (B, V, C, H, W)`` (reference: aurora/model/util.py:18-41).
+
+    The pixel-shuffle transpose materialises an intermediate whose minor dimension is
+    ``P``; the TPU's (8, 128) tiled layout pads that to 128, a 128/P x memory blowup
+    (21 GB for the full 13-level 0.1-deg output). Processing one pressure level at a
+    time bounds the padded intermediate to ~1/C of that.
+    """
     B, C = x.shape[0], x.shape[2]
     Hp, Wp = H // P, W // P
     assert x.shape[1] == Hp * Wp and x.shape[-1] == V * P**2
-    x = x.reshape(B, Hp, Wp, C, P, P, V)
-    x = x.transpose(0, 6, 3, 1, 4, 2, 5)  # (B, V, C, Hp, P, Wp, P)
-    return x.reshape(B, V, C, Hp * P, Wp * P)
+
+    def one_level(xc: jax.Array) -> jax.Array:
+        y = xc.reshape(B, Hp, Wp, P, P, V)
+        y = y.transpose(0, 5, 1, 3, 2, 4)  # (B, V, Hp, P, Wp, P)
+        return y.reshape(B, V, Hp * P, Wp * P)
+
+    if C == 1:
+        return one_level(x[:, :, 0])[:, :, None]
+    out = jax.lax.map(one_level, x.transpose(2, 0, 1, 3))  # (C, B, V, H, W)
+    return out.transpose(1, 2, 0, 3, 4)
 
 
 def _head_vars(cfg: AuroraConfig):

@@ -66,13 +66,22 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
 def layernorm(p: Optional[Params], x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """LayerNorm over the last axis; pass ``p=None`` for the non-affine variant."""
-    # Moment computation in f32 for bf16 inputs keeps parity with torch's fp32 LN math.
-    compute_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
-    xc = x.astype(compute_dtype)
-    mean = jnp.mean(xc, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xc - mean), axis=-1, keepdims=True)
-    y = (xc - mean) * jax.lax.rsqrt(var + eps)
-    y = y.astype(x.dtype)
+    if x.dtype == jnp.bfloat16:
+        # f32 statistics without materialising an f32 copy of the activation: the
+        # two-pass (x - mean) form makes XLA keep a full-size f32 buffer alive (506 MB
+        # per LN for the 0.25-deg stage-1 tensor); reductions with an f32 accumulator
+        # fuse into single passes instead. E[x^2]-E[x]^2 in f32 over 512..2048 bf16
+        # values is well within bf16 output resolution.
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    else:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
     if p is not None:
         y = y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return y

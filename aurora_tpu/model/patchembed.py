@@ -1,10 +1,10 @@
 """Per-variable patch embedding.
 
-TPU-native design: the reference realises this as a dynamically-assembled strided
-``conv3d`` (reference: aurora/model/patchembed.py:100-112). A stride-equals-kernel conv
-is exactly a patch extraction followed by a dense projection, so here it is implemented
-as reshape + one large matmul — the canonical MXU-friendly form, with no conv lowering
-in the way of XLA fusion.
+TPU-native design: a dynamically-assembled strided conv, like the reference
+(aurora/model/patchembed.py:100-112) but 2D with history folded into channels. The conv
+form matters on TPU: manual patch-extraction reshapes create intermediates whose minor
+dimension is the patch size, which the (8, 128) tiled layout pads to 128 (a 128/P x
+memory blowup); XLA's conv emitter extracts patches internally on the MXU.
 
 Per-variable weights are stored as ``(T, P, P, D)`` (torch stores ``(D, 1, T, P, P)``;
 the checkpoint converter transposes). At apply time the selected variables' weights are
@@ -61,14 +61,25 @@ def level_patch_embed_apply(
     assert len(set(var_names)) == V, f"{var_names} contains duplicates."
     assert H % P == 0 and W % P == 0
 
-    # (V*T*P*P, D) projection matrix in (v, t, p, q) patch order.
-    weight = jnp.concatenate(
-        [p["weights"][name][:T].reshape(T * P * P, -1) for name in var_names], axis=0
-    )
+    # Layout-aware patching. A naive reshape-to-patches materialises intermediates whose
+    # minor dimension is P, which the TPU's (8, 128) tiled layout pads to 128 — a
+    # 128/P x memory blowup (21 GB at 0.1 deg). A 2D conv with C_in = V*T (~10) pads the
+    # channel-minor operand 128/(V*T) x instead. So: fold the patch ROW into channels
+    # first (every intermediate keeps W, P*V*T or D minor) and run ONE strided 1D conv
+    # over W with C_in = V*T*P — large enough that channel padding is negligible.
+    weight = jnp.stack([p["weights"][name][:T] for name in var_names], axis=0)
+    kernel = weight.transpose(4, 0, 1, 2, 3).reshape(-1, V * T * P, P)  # (D, VTP, P)
 
-    # Extract patches: (B, V, T, H/P, P, W/P, P) -> (B, H/P, W/P, V, T, P, P).
-    xp = x.reshape(B, V, T, H // P, P, W // P, P)
-    xp = xp.transpose(0, 3, 5, 1, 2, 4, 6)
-    xp = xp.reshape(B, (H // P) * (W // P), V * T * P * P)
-
-    return xp @ weight.astype(x.dtype) + p["bias"].astype(x.dtype)
+    xr = x.reshape(B, V * T, H // P, P, W)
+    xr = xr.transpose(0, 2, 1, 3, 4).reshape(B * (H // P), V * T * P, W)
+    out = jax.lax.conv_general_dilated(
+        xr,
+        kernel.astype(x.dtype),
+        window_strides=(P,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (B*H/P, D, W/P)
+    D = out.shape[1]
+    out = out.reshape(B, H // P, D, W // P).transpose(0, 1, 3, 2)
+    out = out.reshape(B, (H // P) * (W // P), D)
+    return out + p["bias"].astype(x.dtype)

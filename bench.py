@@ -97,7 +97,9 @@ def bench_jax(steps=3):
     def run(i):
         out = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
         leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(np.asarray(leaf).ravel()[0])
+        # Index on device first: fetching the whole leaf would time the tunnel, not
+        # the chip.
+        return float(leaf[(0,) * leaf.ndim])
 
     run(0)
     times = []

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""0.1-deg HighRes (1801x3600, patch 10) single-chip inference benchmark.
+
+The reference runs this config on a single GPU via the larger patch size
+(aurora/model/aurora.py:624-643); BASELINE.md config 5 uses it as the multi-host
+stress case. This measures the single-chip floor with the same fetch-synced
+methodology as bench.py.
+"""
+
+import sys
+import time
+from datetime import datetime
+from functools import partial
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aurora_tpu.batch import Batch, Metadata
+    from aurora_tpu.model.aurora import Aurora, forward_core, init_params
+    from aurora_tpu.model.config import HIGHRES_CONFIG
+
+    cfg = HIGHRES_CONFIG.replace(autocast=True, agg_chunk_size=8192, use_lora=False)
+    levels = (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)
+    H, W = 1801, 3600
+    rng = np.random.default_rng(0)
+    B, T = 1, 2
+    batch = Batch(
+        surf_vars={k: rng.standard_normal((B, T, H, W)).astype(np.float32) for k in cfg.surf_vars},
+        static_vars={k: np.abs(rng.standard_normal((H, W))).astype(np.float32) for k in cfg.static_vars},
+        atmos_vars={
+            k: rng.standard_normal((B, T, len(levels), H, W)).astype(np.float32)
+            for k in cfg.atmos_vars
+        },
+        metadata=Metadata(
+            lat=np.linspace(90, -90, H), lon=np.linspace(0, 360, W, endpoint=False),
+            time=(datetime(2020, 6, 1, 12),), atmos_levels=levels,
+        ),
+    ).crop(cfg.patch_size)
+    Hc, Wc = batch.spatial_shape
+    print(f"grid {Hc}x{Wc}, patch {cfg.patch_size}", file=sys.stderr, flush=True)
+
+    model = Aurora(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    enc = model.prepare_encodings(batch, dtype=jnp.float32)
+    surf = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.surf_vars.items()}
+    static = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.static_vars.items()}
+    atmos = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.atmos_vars.items()}
+    lv = tuple(float(x) for x in levels)
+    fwd = jax.jit(partial(forward_core, atmos_levels=lv, cfg=cfg))
+
+    def run(i):
+        out = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf[(0,) * leaf.ndim])
+
+    t0 = time.time()
+    run(0)
+    print(f"first step (incl. compile): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        run(i)
+        ts.append(time.time() - t0)
+    dt = min(ts)
+    print(f"step times: {[f'{t:.2f}' for t in ts]}", file=sys.stderr)
+    print(f"highres_0.1deg: {dt*1e3:.0f} ms/step -> {Hc*Wc/dt/1e6:.2f} M grid_points/s/chip")
+
+
+if __name__ == "__main__":
+    main()

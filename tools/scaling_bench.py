@@ -90,7 +90,8 @@ def main():
 
             def sync(i):
                 out = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
-                return float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return float(leaf[(0,) * leaf.ndim])
 
             sync(0)
             ts = []
