@@ -73,9 +73,10 @@ def layernorm(p: Optional[Params], x: jax.Array, eps: float = 1e-5) -> jax.Array
         # fuse into single passes instead. E[x^2]-E[x]^2 in f32 over 512..2048 bf16
         # values is well within bf16 output resolution.
         mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        meansq = jnp.mean(
-            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True, dtype=jnp.float32
-        )
+        # Square in bf16: an f32 convert here would be CSE'd with the one in the
+        # normalise below into a shared, materialised 506 MB buffer. bf16 squaring
+        # error (~0.4% relative) is below the bf16 output resolution.
+        meansq = jnp.mean(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     else:
