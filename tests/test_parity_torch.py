@@ -280,3 +280,24 @@ def test_rollout_parity_f32_10steps(reference, f64_pos_encoding):
             theirs = ref_pred.surf_vars[k].double().numpy()
             err = np.abs(ours - theirs).mean() / (np.abs(theirs).mean() + 1e-30)
             assert err < tol, f"step {i} {k}: rel err {err:.3e} > {tol:.1e}"
+
+
+def test_autocast_bf16_parity(reference, f64_pos_encoding):
+    """The bf16-autocast boundary (backbone only; encoder/decoder full precision,
+    reference aurora.py:327-343) must match torch CPU autocast within bf16 tolerance."""
+    import torch
+
+    from aurora_tpu import AuroraSmallPretrained
+
+    ref_model = reference.AuroraSmallPretrained(use_lora=False, autocast=True).float()
+    ref_model.eval()
+    _perturb_film(ref_model)
+    model = AuroraSmallPretrained(autocast=True)
+    params = _convert(ref_model, model.cfg, dtype=jnp.float32)
+    batch = make_batch(dtype=np.float32)
+
+    with torch.inference_mode():
+        ref_pred = ref_model.forward(_to_torch_batch(reference, batch))
+    pred = model.forward(params, batch)
+    # bf16 resolution is ~0.4%; both sides round independently inside the backbone.
+    _assert_batches_close(pred, ref_pred, rtol=2e-2)
