@@ -107,8 +107,12 @@ def window_bias_from_groups(groups: np.ndarray):
 
 @lru_cache(maxsize=32)
 def _window_bias_cached(g_bytes: bytes, shape):
+    import jax
     import jax.numpy as jnp
 
     g = np.frombuffer(g_bytes, dtype=np.int32).reshape(shape)
     bias = np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
-    return jnp.asarray(bias)
+    # The first call may happen inside a jit trace; force a concrete (not traced)
+    # array so the lru_cache never captures a tracer.
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(bias)
