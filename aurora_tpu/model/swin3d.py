@@ -258,7 +258,7 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups):
             0,
             pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, window_bias_from_groups(np.asarray(groups)))
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
 
     return pl.pallas_call(
         kernel,
@@ -334,7 +334,7 @@ def _sdpa_windows_pallas(q, k, v, groups):
             0,
             pl.BlockSpec((KW, N, N), lambda b, i, hh: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, window_bias_from_groups(np.asarray(groups)))
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
 
     return pl.pallas_call(
         kernel,

@@ -98,21 +98,18 @@ def window_bias_from_groups(groups: np.ndarray):
     """Additive attention bias ``(nW, N, N)`` float32 from group ids (cached).
 
     0 where the group ids match, -100 otherwise — the reference's mask values
-    (aurora/model/swin3d.py:357-358). Returns a cached ``jax.numpy`` array so every
-    block with the same geometry shares ONE graph constant (the stage-1 bias is
-    ~150 MB; without caching each masked block would bake its own copy).
+    (aurora/model/swin3d.py:357-358). Returns the same (cached) NumPy object per
+    geometry so every block shares one ~150 MB graph constant.
     """
     return _window_bias_cached(groups.tobytes(), groups.shape)
 
 
 @lru_cache(maxsize=32)
 def _window_bias_cached(g_bytes: bytes, shape):
-    import jax
-    import jax.numpy as jnp
-
+    # Return the SAME NumPy object for a given geometry: jax's constant lowering is
+    # keyed on object id, so every block embedding this bias shares one ~150 MB graph
+    # constant. (Caching a jax array here is wrong twice over: created inside a jit
+    # trace it would be a leaked tracer, and created eagerly it can deadlock
+    # remote-compile runtimes.)
     g = np.frombuffer(g_bytes, dtype=np.int32).reshape(shape)
-    bias = np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
-    # The first call may happen inside a jit trace; force a concrete (not traced)
-    # array so the lru_cache never captures a tracer.
-    with jax.ensure_compile_time_eval():
-        return jnp.asarray(bias)
+    return np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
