@@ -95,3 +95,40 @@ def test_submit_unknown_model(tmp_path):
     with pytest.raises(KeyError):
         list(submit(batch, "not-a-model", 1, channel, client))
     server.shutdown()
+
+
+def test_submit_over_real_http(tmp_path, registered_tiny_model):
+    """The full loop over a real localhost socket: FoundryClient -> http.server
+    endpoint -> InferenceServer, with bearer-token auth."""
+    from aurora_tpu.foundry.client import FoundryClient
+    from aurora_tpu.foundry.http_server import serve
+
+    with serve(token="secret") as handle:
+        client = FoundryClient(endpoint=handle.url, token="secret")
+        channel = LocalFileChannel(tmp_path / "comm")
+        batch = make_batch(H=16, W=32, levels=(500.0, 850.0), dtype=np.float32)
+        preds = list(
+            submit(
+                batch,
+                model_name="tiny-test-model",
+                num_steps=2,
+                channel=channel,
+                foundry_client=client,
+            )
+        )
+    assert len(preds) == 2
+    assert preds[1].metadata.rollout_step == 2
+
+
+def test_http_rejects_bad_token(registered_tiny_model):
+    import requests
+
+    from aurora_tpu.foundry.http_server import serve
+
+    with serve(token="secret") as handle:
+        r = requests.post(
+            handle.url,
+            headers={"Authorization": "Bearer wrong"},
+            json={"input_data": {"data": "{}"}},
+        )
+        assert r.status_code == 401
