@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from aurora_tpu.batch import Batch
 from aurora_tpu.model.aurora import Aurora
 
-__all__ = ["rollout"]
+__all__ = ["rollout", "rollout_scan"]
 
 
 def rollout(model: Aurora, params, batch: Batch, steps: int) -> Generator[Batch, None, None]:
@@ -41,3 +41,92 @@ def rollout(model: Aurora, params, batch: Batch, steps: int) -> Generator[Batch,
                 for k, v in pred.atmos_vars.items()
             },
         )
+
+
+def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]:
+    """Whole-roll-out as ONE compiled ``lax.scan`` program.
+
+    The history shift, per-step LoRA selection, variant hooks, and clamp gating all
+    happen in-graph; the per-step absolute-time (and dynamic time-feature) encodings
+    are precomputed host-side for every step and scanned over. Returns the list of
+    per-step predictions (the stacked outputs live on device until indexed, so callers
+    rolling many steps of the 1.3 B model at 0.25 deg should prefer :func:`rollout`,
+    which bounds device memory at one step).
+
+    Matches :func:`rollout` step for step (tests/test_rollout.py).
+    """
+    import dataclasses as _dc
+
+    import jax
+    import numpy as np
+
+    from aurora_tpu.model.aurora import forward_core
+
+    cfg = model.cfg
+    batch = model.batch_transform_hook(batch)
+    batch = batch.crop(cfg.patch_size)
+
+    # Per-step encodings: times advance by cfg.timestep each step.
+    enc_steps = []
+    md = batch.metadata
+    for i in range(steps):
+        md_i = _dc.replace(md, time=tuple(t + i * cfg.timestep for t in md.time))
+        enc_steps.append(model.prepare_encodings(_dc.replace(batch, metadata=md_i)))
+    enc0 = enc_steps[0]
+    abs_t = jnp.stack([e.absolute_time for e in enc_steps])  # (S, B, D)
+    dyn = (
+        jnp.stack([e.dynamic_scalars for e in enc_steps])
+        if enc0.dynamic_scalars is not None
+        else None
+    )
+
+    surf0 = {k: jnp.asarray(v) for k, v in batch.surf_vars.items()}
+    static0 = {k: jnp.asarray(v) for k, v in batch.static_vars.items()}
+    atmos0 = {k: jnp.asarray(v) for k, v in batch.atmos_vars.items()}
+    levels = tuple(float(x) for x in md.atmos_levels)
+    step0 = jnp.asarray(batch.metadata.rollout_step, jnp.int32)
+
+    def body(carry, xs):
+        surf, atmos, step = carry
+        abs_t_i, dyn_i = xs
+        enc_i = _dc.replace(enc0, absolute_time=abs_t_i, dynamic_scalars=dyn_i)
+        surf_pred, atmos_pred = forward_core(
+            params, surf, static0, atmos, enc_i, step, levels, cfg
+        )
+        surf_next = {
+            k: jnp.concatenate([surf[k][:, 1:], surf_pred[k][:, None]], axis=1)
+            for k in surf
+        }
+        atmos_next = {
+            k: jnp.concatenate([atmos[k][:, 1:], atmos_pred[k][:, None]], axis=1)
+            for k in atmos
+        }
+        return (surf_next, atmos_next, step + 1), (surf_pred, atmos_pred)
+
+    xs = (abs_t, dyn if dyn is not None else jnp.zeros((steps, 1)))
+    if dyn is None:
+        def body_nodyn(carry, xs):
+            return body(carry, (xs[0], None))
+        scan_body = body_nodyn
+    else:
+        scan_body = body
+
+    (_, _, _), (surf_stack, atmos_stack) = jax.lax.scan(
+        scan_body, (surf0, atmos0, step0), xs, length=steps
+    )
+
+    preds = []
+    for i in range(steps):
+        preds.append(
+            Batch(
+                surf_vars={k: v[i][:, None] for k, v in surf_stack.items()},
+                static_vars=dict(batch.static_vars),
+                atmos_vars={k: v[i][:, None] for k, v in atmos_stack.items()},
+                metadata=_dc.replace(
+                    md,
+                    time=tuple(t + (i + 1) * cfg.timestep for t in md.time),
+                    rollout_step=batch.metadata.rollout_step + i + 1,
+                ),
+            )
+        )
+    return preds

@@ -138,3 +138,23 @@ def test_rollout_history_shift():
         np.asarray(preds[1].surf_vars["2t"]),
         rtol=1e-6,
     )
+
+
+def test_rollout_scan_matches_loop():
+    """The single-program lax.scan roll-out must match the per-step loop."""
+    from aurora_tpu.rollout import rollout_scan
+
+    model = AuroraSmallPretrained()
+    params = model.init(jax.random.PRNGKey(0))
+    batch = make_batch(dtype=np.float32)
+
+    loop_preds = list(rollout(model, params, batch, steps=3))
+    scan_preds = rollout_scan(model, params, batch, steps=3)
+    assert len(scan_preds) == 3
+    for i, (a, b) in enumerate(zip(loop_preds, scan_preds)):
+        assert b.metadata.rollout_step == i + 1
+        assert b.metadata.time == a.metadata.time
+        for k in a.surf_vars:
+            np.testing.assert_allclose(
+                np.asarray(a.surf_vars[k]), np.asarray(b.surf_vars[k]), rtol=2e-5, atol=1e-4,
+            )
