@@ -120,8 +120,10 @@ class Tracker:
         """Advance the track with the next prediction."""
         if len(batch.metadata.time) != 1:
             raise RuntimeError("Predictions don't have batch size one.")
-        batch = batch.to_numpy()
 
+        # Index on device BEFORE converting: the tracker needs only four 2D fields, not
+        # the full ~1 GB prediction (which matters when predictions live on an
+        # accelerator behind a slow link).
         z700_index = list(batch.metadata.atmos_levels).index(700)
         z700 = np.asarray(batch.atmos_vars["z"][0, 0, z700_index])
         msl = np.asarray(batch.surf_vars["msl"][0, 0])
