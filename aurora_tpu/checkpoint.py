@@ -17,7 +17,7 @@ Also includes Orbax-based save/restore of native parameter trees.
 from __future__ import annotations
 
 import re
-from typing import Mapping, Optional
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ automatic (TPU when present, else CPU).
 from __future__ import annotations
 
 import logging
-from typing import Generator, Optional
+from typing import Generator
 
 import jax.numpy as jnp
 

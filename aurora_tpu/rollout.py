@@ -58,8 +58,6 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
     import dataclasses as _dc
 
     import jax
-    import numpy as np
-
     from aurora_tpu.model.aurora import forward_core
 
     cfg = model.cfg

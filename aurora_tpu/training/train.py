@@ -10,7 +10,6 @@ boundaries as the reference's activation checkpointing (aurora.py:506-547; enabl
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
