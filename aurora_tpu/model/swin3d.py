@@ -168,7 +168,10 @@ def window_attention_apply(
             )
         return out
 
-    qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, nW, N, 3D)
+    # Flatten to a single 2D GEMM (M = B*nW*N); the reshape is free (row-major) and
+    # gives the MXU one large matmul instead of a leading-dim-batched one.
+    x2 = x.reshape(B * nW * N, D)
+    qkv = with_lora("lora_qkv", x2, linear(p["qkv"], x2)).reshape(B, nW, N, 3 * D)
 
     impl = cfg.attention_impl
     if impl == "auto":
@@ -188,7 +191,8 @@ def window_attention_apply(
             )[None, :, None, :, :]
         out = sdpa(q, k, v, bias=bias)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
-    return with_lora("lora_proj", out, linear(p["proj"], out))
+    out2 = out.reshape(B * nW * N, D)
+    return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(B, nW, N, D)
 
 
 def _sdpa_windows_fused_pallas(windows, num_heads, groups):
