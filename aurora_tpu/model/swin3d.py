@@ -213,7 +213,7 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups):
     scale = 1.0 / math.sqrt(dh)
 
     per_window = N * 4 * D * windows.dtype.itemsize + (N * N * 4 if masked else 0)
-    budget = max(1, (1024 * 1024) // per_window)
+    budget = max(1, (4 * 1024 * 1024) // per_window)
     KW = 1
     for cand in range(min(nW, budget), 0, -1):
         if nW % cand == 0:
