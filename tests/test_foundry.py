@@ -132,3 +132,34 @@ def test_http_rejects_bad_token(registered_tiny_model):
             json={"input_data": {"data": "{}"}},
         )
         assert r.status_code == 401
+
+
+def test_task_failure_surfaces_to_client(tmp_path, registered_tiny_model, monkeypatch):
+    """Exceptions inside the roll-out are captured into the task status and raised
+    client-side as SubmissionError (reference: mlflow_wrapper.py:107-113)."""
+    import aurora_tpu.foundry.server as server_mod
+    from aurora_tpu.foundry.client import SubmissionError
+
+    def boom(self):
+        raise RuntimeError("synthetic rollout failure")
+
+    monkeypatch.setattr(TinyServedModel, "run", boom, raising=False)
+
+    server = InferenceServer()
+    client = FakeFoundryClient(server)
+    channel = LocalFileChannel(tmp_path / "comm")
+    batch = make_batch(H=16, W=32, levels=(500.0, 850.0), dtype=np.float32)
+    with pytest.raises(SubmissionError):
+        list(
+            submit(
+                batch, model_name="tiny-test-model", num_steps=2,
+                channel=channel, foundry_client=client,
+            )
+        )
+    server.shutdown()
+
+
+def test_channel_read_timeout(tmp_path):
+    channel = LocalFileChannel(tmp_path / "comm")
+    with pytest.raises(TimeoutError):
+        channel.read("no-such-task", "input.nc.ack", timeout=0.5)
