@@ -2,10 +2,12 @@
 
 TPU-native re-design of the reference backbone (reference: aurora/model/swin3d.py):
 
-* Window partition/reverse are pure reshapes/transposes with the feature axis kept
-  minormost — XLA lowers them to cheap layout ops on TPU.
-* Shifted-window masks are host-side cached *group ids* (see aurora_tpu/ops/masks.py);
-  the additive bias is formed by an equality compare fused into attention.
+* Window partition/reverse are reshapes/transposes with the feature axis kept
+  minormost — XLA lowers them to cheap layout ops on TPU; the QKV and output
+  projections run OUTSIDE the windowed layout as single flat 2D GEMMs.
+* The masked softmax-attention core is a fused Pallas kernel on TPU (logits live in
+  VMEM; the mask is a host-precomputed per-window additive bias cached per geometry,
+  see aurora_tpu/ops/masks.py); a plain-XLA path covers other backends bit-for-bit.
 * The cyclic shift is ``jnp.roll``; under GSPMD sharding of the (H, W) token grid XLA
   lowers it to an ICI ``collective-permute`` halo exchange (see aurora_tpu/parallel).
 * LoRA roll-out selection uses traced steps (one compiled program for all steps).
