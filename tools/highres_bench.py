@@ -52,24 +52,39 @@ def main():
     static = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.static_vars.items()}
     atmos = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.atmos_vars.items()}
     lv = tuple(float(x) for x in levels)
-    fwd = jax.jit(partial(forward_core, atmos_levels=lv, cfg=cfg))
+    # Donate the input field buffers (the right semantics for single-shot forwards).
+    # Note: measured peak stays ~16.5 GB either way on v5e — the backbone's scheduled
+    # intermediates, not the inputs, set the high-water mark; see ROADMAP.md.
+    fwd = jax.jit(
+        partial(forward_core, atmos_levels=lv, cfg=cfg), donate_argnums=(1, 2, 3)
+    )
+
+    host = {
+        "surf": {k: np.asarray(v) for k, v in batch.surf_vars.items()},
+        "static": {k: np.asarray(v) for k, v in batch.static_vars.items()},
+        "atmos": {k: np.asarray(v) for k, v in batch.atmos_vars.items()},
+    }
 
     def run(i):
-        out = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
+        s_d = {k: jax.device_put(jnp.asarray(v)) for k, v in host["surf"].items()}
+        st_d = {k: jax.device_put(jnp.asarray(v)) for k, v in host["static"].items()}
+        a_d = {k: jax.device_put(jnp.asarray(v)) for k, v in host["atmos"].items()}
+        out = fwd(params, s_d, st_d, a_d, enc, jnp.asarray(i % 3, jnp.int32))
         leaf = jax.tree_util.tree_leaves(out)[0]
         return float(leaf[(0,) * leaf.ndim])
 
+    del surf, static, atmos
     t0 = time.time()
     run(0)
-    print(f"first step (incl. compile): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"first step (incl. compile + upload): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     ts = []
-    for i in range(3):
+    for i in range(2):
         t0 = time.time()
         run(i)
         ts.append(time.time() - t0)
     dt = min(ts)
-    print(f"step times: {[f'{t:.2f}' for t in ts]}", file=sys.stderr)
-    print(f"highres_0.1deg: {dt*1e3:.0f} ms/step -> {Hc*Wc/dt/1e6:.2f} M grid_points/s/chip")
+    print(f"step times incl. 1.8 GB host upload: {[f'{t:.2f}' for t in ts]}", file=sys.stderr)
+    print(f"highres_0.1deg: {dt*1e3:.0f} ms/step -> {Hc*Wc/dt/1e6:.2f} M grid_points/s/chip (incl. upload)")
 
 
 if __name__ == "__main__":
