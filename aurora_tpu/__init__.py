@@ -18,7 +18,8 @@ from aurora_tpu.model.aurora import (
     AuroraWave,
 )
 from aurora_tpu.model.config import AuroraConfig
-from aurora_tpu.rollout import rollout
+from aurora_tpu.rollout import rollout, rollout_scan
+from aurora_tpu.tracker import Tracker
 
 __all__ = [
     "Aurora",
@@ -32,5 +33,7 @@ __all__ = [
     "AuroraConfig",
     "Batch",
     "Metadata",
+    "Tracker",
     "rollout",
+    "rollout_scan",
 ]

@@ -68,16 +68,21 @@ def layernorm(p: Optional[Params], x: jax.Array, eps: float = 1e-5) -> jax.Array
     """LayerNorm over the last axis; pass ``p=None`` for the non-affine variant."""
     if x.dtype == jnp.bfloat16:
         # f32 statistics without materialising an f32 copy of the activation: the
-        # two-pass (x - mean) form makes XLA keep a full-size f32 buffer alive (506 MB
-        # per LN for the 0.25-deg stage-1 tensor); reductions with an f32 accumulator
-        # fuse into single passes instead. E[x^2]-E[x]^2 in f32 over 512..2048 bf16
-        # values is well within bf16 output resolution.
+        # two-pass f32 (x - mean) form makes XLA keep a full-size f32 buffer alive
+        # (506 MB per LN for the 0.25-deg stage-1 tensor); reductions with an f32
+        # accumulator fuse into single passes instead. Plain E[x^2]-E[x]^2 with a
+        # bf16 square is catastrophically cancelled for |mean| >> std rows, so use
+        # the *shifted* form: subtract a bf16 mean estimate before squaring. The
+        # subtraction and square stay bf16 (no shared f32 buffer for CSE to
+        # materialise); their rounding error is relative to |x - shift| ~ std, not
+        # |x|, which bounds the variance error at ~1% of var for any mean/std ratio.
         mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        # Square in bf16: an f32 convert here would be CSE'd with the one in the
-        # normalise below into a shared, materialised 506 MB buffer. bf16 squaring
-        # error (~0.4% relative) is below the bf16 output resolution.
-        meansq = jnp.mean(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
-        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        shift = mean.astype(x.dtype)
+        meansq = jnp.mean(
+            jnp.square(x - shift), axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        resid = mean - shift.astype(jnp.float32)
+        var = jnp.maximum(meansq - jnp.square(resid), 0.0)
         y = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     else:
         mean = jnp.mean(x, axis=-1, keepdims=True)

@@ -197,12 +197,13 @@ def window_attention_apply(
     return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(B, nW, N, D)
 
 
-def _sdpa_windows_fused_pallas(windows, num_heads, groups):
+def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = False):
     """Pallas TPU kernel over raw windows ``(B, nW, N, 3D)`` -> ``(B, nW, N, D)``.
 
     Consumes the window-partition layout directly — no XLA head-split/merge transposes
     (those cost ~4 full-tensor relayouts per block). Heads are lane slices of the packed
-    (qkv, head, dh) feature dim inside VMEM.
+    (qkv, head, dh) feature dim inside VMEM. ``interpret=True`` runs the kernel in the
+    Pallas interpreter (any backend) so CI can assert equivalence with the XLA path.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -277,6 +278,7 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups):
             bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3,
             transcendentals=B * nW * h * N * N,
         ),
+        interpret=interpret,
     )(*inputs)
 
 

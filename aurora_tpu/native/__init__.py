@@ -28,24 +28,33 @@ def _build() -> "ctypes.CDLL | None":
     cache_dir = Path(
         os.environ.get("AURORA_TPU_NATIVE_CACHE", Path.home() / ".cache" / "aurora_tpu")
     )
-    cache_dir.mkdir(parents=True, exist_ok=True)
-    lib_path = cache_dir / "libaurora_native.so"
-    if not lib_path.exists() or lib_path.stat().st_mtime < _SRC.stat().st_mtime:
-        with tempfile.TemporaryDirectory() as td:
-            tmp = Path(td) / "libaurora_native.so"
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        lib_path = cache_dir / "libaurora_native.so"
+        if not lib_path.exists() or lib_path.stat().st_mtime < _SRC.stat().st_mtime:
+            # Build into a sibling temp file so the final rename stays on one
+            # filesystem (os.replace across filesystems raises EXDEV — /tmp is
+            # commonly tmpfs). No -march=native: the cache dir may be shared across
+            # heterogeneous hosts (NFS homes), and the kernel is bandwidth-bound.
+            with tempfile.NamedTemporaryFile(
+                dir=cache_dir, suffix=".so", delete=False
+            ) as tf:
+                tmp = Path(tf.name)
             cmd = [
-                "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+                "g++", "-O3", "-fopenmp", "-shared", "-fPIC",
                 str(_SRC), "-o", str(tmp),
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except Exception as e:  # toolchain missing / failed: fall back
-                logger.info("native build failed (%s); using scipy fallback", e)
-                return None
-            os.replace(tmp, lib_path)
-    lib = ctypes.CDLL(str(lib_path))
-    lib.regrid_bilinear.restype = None
-    return lib
+                os.replace(tmp, lib_path)
+            finally:
+                tmp.unlink(missing_ok=True)
+        lib = ctypes.CDLL(str(lib_path))
+        lib.regrid_bilinear.restype = None
+        return lib
+    except Exception as e:  # toolchain missing / cache unwritable / bad .so: fall back
+        logger.info("native build failed (%s); using scipy fallback", e)
+        return None
 
 
 def _get_lib():

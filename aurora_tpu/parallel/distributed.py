@@ -25,6 +25,9 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
     With no arguments, topology is auto-detected from the TPU metadata; pass explicit
     values for CPU/GPU clusters or tests.
     """
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -37,7 +40,13 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
             jax.local_device_count(), jax.device_count(),
         )
     except (ValueError, RuntimeError) as e:
-        # Single-host runs (or already-initialised runtimes) land here.
+        # Auto-detect on a single host (no TPU metadata) lands here, as does a
+        # double initialise — both benign. A failure with *explicit* topology
+        # arguments is a real pod misconfiguration: silently degrading to a
+        # single-process runtime would produce per-host-divergent programs, so
+        # fail fast instead.
+        if explicit and "already initialized" not in str(e).lower():
+            raise
         logger.info("distributed init skipped: %s", e)
 
 

@@ -64,12 +64,20 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
     batch = model.batch_transform_hook(batch)
     batch = batch.crop(cfg.patch_size)
 
+    # Mirror forward(): compute in the parameter dtype (encodings stay f32 for bf16
+    # trees — the backbone casts internally), so scan and eager rollouts match for
+    # bf16 (serving) and f64 (parity) parameter trees alike.
+    dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    enc_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
     # Per-step encodings: times advance by cfg.timestep each step.
     enc_steps = []
     md = batch.metadata
     for i in range(steps):
         md_i = _dc.replace(md, time=tuple(t + i * cfg.timestep for t in md.time))
-        enc_steps.append(model.prepare_encodings(_dc.replace(batch, metadata=md_i)))
+        enc_steps.append(
+            model.prepare_encodings(_dc.replace(batch, metadata=md_i), dtype=enc_dtype)
+        )
     enc0 = enc_steps[0]
     abs_t = jnp.stack([e.absolute_time for e in enc_steps])  # (S, B, D)
     dyn = (
@@ -78,9 +86,9 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
         else None
     )
 
-    surf0 = {k: jnp.asarray(v) for k, v in batch.surf_vars.items()}
-    static0 = {k: jnp.asarray(v) for k, v in batch.static_vars.items()}
-    atmos0 = {k: jnp.asarray(v) for k, v in batch.atmos_vars.items()}
+    surf0 = {k: jnp.asarray(v, dtype) for k, v in batch.surf_vars.items()}
+    static0 = {k: jnp.asarray(v, dtype) for k, v in batch.static_vars.items()}
+    atmos0 = {k: jnp.asarray(v, dtype) for k, v in batch.atmos_vars.items()}
     levels = tuple(float(x) for x in md.atmos_levels)
     step0 = jnp.asarray(batch.metadata.rollout_step, jnp.int32)
 

@@ -1,0 +1,114 @@
+"""Pallas-kernel equivalence (interpret mode) and low-precision numerics tests.
+
+The production TPU attention path is the fused Pallas window-SDPA kernel
+(aurora_tpu/model/swin3d.py); the CI suite runs on CPU, so without these tests the
+kernel would ship unexercised. ``pl.pallas_call(..., interpret=True)`` runs the same
+kernel body through the Pallas interpreter on any backend, which lets us assert
+bit-level agreement in structure (same masking, same head slicing) against the plain
+XLA path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu.model.nn import layernorm, sdpa
+from aurora_tpu.model.swin3d import _sdpa_windows_fused_pallas
+from aurora_tpu.ops.masks import window_group_ids
+
+
+def _xla_sdpa_windows(qkv, num_heads, groups):
+    """The reference XLA path of window_attention_apply (swin3d.py)."""
+    B, nW, N, D3 = qkv.shape
+    D = D3 // 3
+    qkv = qkv.reshape(B, nW, N, 3, num_heads, D // num_heads)
+    qkv = qkv.transpose(3, 0, 1, 4, 2, 5)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    bias = None
+    if groups is not None:
+        g = jnp.asarray(groups)
+        bias = jnp.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(
+            jnp.float32
+        )[None, :, None, :, :]
+    out = sdpa(q, k, v, bias=bias)
+    return out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
+
+
+@pytest.mark.parametrize("num_heads", [2, 4])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_window_sdpa_matches_xla(num_heads, masked):
+    """Fused Pallas kernel (interpret mode) == XLA SDPA, with and without masks.
+
+    The masked case uses real shifted-window group ids on a grid that is NOT a
+    window multiple, so padded-window group ids (the fresh id assigned to padding
+    tokens) are exercised too.
+    """
+    ws, ss = (2, 3, 4), (0, 1, 2)
+    C, H, W = 4, 7, 10  # H, W not multiples of ws -> padded windows
+    groups = window_group_ids(C, H, W, ws, ss) if masked else None
+    Cp, Hp, Wp = 4, 9, 12  # padded grid
+    nW = (Cp // ws[0]) * (Hp // ws[1]) * (Wp // ws[2])
+    N = ws[0] * ws[1] * ws[2]
+    if masked:
+        assert groups.shape == (nW, N)
+        assert groups.max() >= 27  # padding group id present
+
+    B, D = 2, 8 * num_heads
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, nW, N, 3 * D), jnp.float32)
+
+    got = _sdpa_windows_fused_pallas(qkv, num_heads, groups, interpret=True)
+    want = _xla_sdpa_windows(qkv, num_heads, groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_window_sdpa_padding_tokens_isolated():
+    """Padding tokens must not leak into real tokens' outputs.
+
+    Compare a masked window where padding-token *values* are zeroed vs. filled with
+    garbage: real-token outputs must be identical.
+    """
+    ws, ss = (1, 2, 4), (0, 1, 2)
+    C, H, W = 1, 3, 6  # pads H 3->4
+    groups = window_group_ids(C, H, W, ws, ss)
+    nW, N = groups.shape
+    pad_id = groups.max()
+    B, h, D = 1, 2, 16
+    key = jax.random.PRNGKey(1)
+    qkv = jax.random.normal(key, (B, nW, N, 3 * D), jnp.float32)
+
+    # The mask is the reference's *soft* -100 additive bias, so keep the garbage at
+    # activation scale (huge values would overwhelm -100 in the reference too).
+    pad_mask = jnp.asarray(groups == pad_id)[None, :, :, None]
+    qkv_garbage = jnp.where(pad_mask, 7.0, qkv)
+
+    out_a = _sdpa_windows_fused_pallas(qkv, h, groups, interpret=True)
+    out_b = _sdpa_windows_fused_pallas(qkv_garbage, h, groups, interpret=True)
+    real = ~np.asarray(groups == pad_id)
+    np.testing.assert_allclose(
+        np.asarray(out_a)[:, real], np.asarray(out_b)[:, real], atol=1e-4, rtol=1e-4
+    )
+
+
+def test_bf16_layernorm_large_mean_channels():
+    """bf16 LN uses a shifted-variance form: must stay accurate when |mean| >> std.
+
+    Transformer residual streams routinely carry large-mean outlier channels; the
+    naive E[x^2]-E[x]^2 form with a bf16 square loses (mean/std)^2 * 0.4% of the
+    variance to cancellation. The shifted form bounds the error at ~1% of var.
+    """
+    rng = np.random.default_rng(0)
+    for mean, std in [(0.0, 1.0), (100.0, 0.5), (-3000.0, 1.0), (1e4, 2.0)]:
+        x64 = mean + std * rng.standard_normal((4, 512))
+        x = jnp.asarray(x64, jnp.bfloat16)
+        got = np.asarray(layernorm(None, x), np.float64)
+
+        # Reference: exact LN of the *bf16-quantised* values (the input the kernel
+        # actually sees), in f64.
+        xq = np.asarray(x, np.float64)
+        mu = xq.mean(-1, keepdims=True)
+        var = ((xq - mu) ** 2).mean(-1, keepdims=True)
+        want = (xq - mu) / np.sqrt(var + 1e-5)
+
+        err = np.abs(got - want).max()
+        assert err < 0.06, f"mean={mean} std={std}: max err {err}"
