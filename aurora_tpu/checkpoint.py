@@ -90,8 +90,16 @@ def convert_torch_state_dict(
     sd: Mapping[str, np.ndarray],
     cfg: AuroraConfig,
     dtype=jnp.float32,
+    leaf_fn=None,
 ) -> dict:
-    """Convert a (already schema-migrated) torch state dict into a parameter pytree."""
+    """Convert a (already schema-migrated) torch state dict into a parameter pytree.
+
+    ``leaf_fn(value, dtype)`` constructs each leaf (default: ``jnp.asarray``); pass
+    e.g. ``lambda v, d: jax.ShapeDtypeStruct(v.shape, d)`` for an allocation-free
+    structural dry-run (tests/test_ckpt_manifest.py).
+    """
+    if leaf_fn is None:
+        leaf_fn = lambda v, d: jnp.asarray(v, d)  # noqa: E731
     tree: dict = {}
     lora_acc: dict[str, dict[int, np.ndarray]] = {}
 
@@ -114,11 +122,11 @@ def convert_torch_state_dict(
             v = np.transpose(v[:, 0], (1, 2, 3, 0))
         elif v.ndim == 2 and parts[-1] == "weight":
             v = v.T  # Linear (out, in) → (in, out).
-        _set_path(tree, parts, jnp.asarray(v, dtype))
+        _set_path(tree, parts, leaf_fn(v, dtype))
 
     for base, steps in lora_acc.items():
         stacked = np.stack([steps[i] for i in range(len(steps))], axis=0)
-        _set_path(tree, base.split("."), jnp.asarray(stacked, dtype))
+        _set_path(tree, base.split("."), leaf_fn(stacked, dtype))
 
     return _strip_rs_tag(tree)
 
@@ -341,6 +349,81 @@ def adapt_max_history_size(d: dict, max_history_size: int) -> dict:
     return d
 
 
+def tree_path_shapes(tree, prefix="") -> dict[str, tuple]:
+    """Flatten a parameter (or ShapeDtypeStruct) tree into ``{path: shape}``."""
+    out: dict[str, tuple] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(tree_path_shapes(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(tree_path_shapes(v, f"{prefix}{i}."))
+    else:
+        out[prefix[:-1]] = tuple(tree.shape)
+    return out
+
+
+def validate_params(params, cfg: AuroraConfig) -> dict[str, list[str]]:
+    """Structurally compare a converted tree against this config's ``init_params``.
+
+    Returns ``{"missing": [...], "unexpected": [...], "mismatched": [...]}`` — all
+    empty iff the checkpoint covers the model exactly. Shape inference runs under
+    ``jax.eval_shape`` so no parameter memory is allocated.
+    """
+    import jax
+
+    from aurora_tpu.model.aurora import init_params
+
+    want = tree_path_shapes(
+        jax.eval_shape(lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
+    )
+    got = tree_path_shapes(params)
+    return {
+        "missing": sorted(set(want) - set(got)),
+        "unexpected": sorted(set(got) - set(want)),
+        "mismatched": sorted(
+            f"{k}: ckpt{got[k]} vs model{want[k]}"
+            for k in set(want) & set(got)
+            if want[k] != got[k]
+        ),
+    }
+
+
+def convert_reference_checkpoint(
+    sd: Mapping[str, np.ndarray],
+    cfg: AuroraConfig,
+    dtype=jnp.float32,
+    strict: bool = True,
+    leaf_fn=None,
+) -> dict:
+    """Schema-migrate + convert a raw reference state dict into a parameter pytree.
+
+    ``strict=True`` validates the result 1:1 against the model's own parameter
+    structure (missing / unexpected / shape-mismatched paths raise). LoRA banks are
+    exempt when the config enables LoRA but the file predates it — the reference
+    documents the same ``strict=False``-for-LoRA contract (docs/finetuning.md).
+    """
+    sd = adapt_checkpoint_pretrained(cfg.patch_size, sd)
+    if cfg.variant == "air_pollution":
+        sd = adapt_checkpoint_air_pollution(cfg.patch_size, sd)
+    elif cfg.variant == "wave":
+        sd = adapt_checkpoint_wave(cfg.patch_size, sd)
+    sd = adapt_max_history_size(sd, cfg.max_history_size)
+
+    params = convert_torch_state_dict(sd, cfg, dtype=dtype, leaf_fn=leaf_fn)
+    if strict:
+        problems = validate_params(params, cfg)
+        if cfg.use_lora:
+            problems["missing"] = [p for p in problems["missing"] if "lora" not in p]
+        msgs = [f"{kind}: {v}" for kind, v in problems.items() if v]
+        if msgs:
+            raise ValueError(
+                "checkpoint does not match the model parameter structure;\n"
+                + "\n".join(msgs)
+            )
+    return params
+
+
 def load_torch_checkpoint(
     path: str,
     cfg: AuroraConfig,
@@ -350,24 +433,14 @@ def load_torch_checkpoint(
     """Load a reference ``.ckpt`` file and convert it into a parameter pytree.
 
     Equivalent of reference ``Aurora.load_checkpoint_local`` (aurora.py:432-456):
-    runs the schema migrations for the variant, adapts the history size, converts.
+    runs the schema migrations for the variant, adapts the history size, converts,
+    and (``strict=True``) validates the tree against the model structure.
     """
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in raw.items()}
-
-    sd = adapt_checkpoint_pretrained(cfg.patch_size, sd)
-    if cfg.variant == "air_pollution":
-        sd = adapt_checkpoint_air_pollution(cfg.patch_size, sd)
-    elif cfg.variant == "wave":
-        sd = adapt_checkpoint_wave(cfg.patch_size, sd)
-    sd = adapt_max_history_size(sd, cfg.max_history_size)
-
-    params = convert_torch_state_dict(sd, cfg, dtype=dtype)
-    if strict and not cfg.use_lora:
-        pass  # Shape/name validation happens naturally on first apply.
-    return params
+    return convert_reference_checkpoint(sd, cfg, dtype=dtype, strict=strict)
 
 
 def load_checkpoint(

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Backbone ablation bench: where does the 1.3 B backbone's time/memory go?
+
+Runs the full bf16 backbone under a series of ablations in ONE process (compiles
+serialize through the remote-compile helper, so batching them here is much cheaper
+than separate runs):
+
+  base        attention=pallas, mlp=xla (the round-1 production config)
+  mlp_pallas  fused-MLP Pallas kernel on (the round-1 rejected config)
+  no_adaln    AdaptiveLayerNorm replaced by identity (cost of FiLM/LN passes)
+  no_roll     cyclic shifts removed (cost of the roll layout ops)
+  no_attn     attention core replaced by identity (GEMMs + layout only)
+
+Each variant reports steady-state time (tunnel-safe: fresh traced input per
+iteration, scalar-fetch sync) and the compiled program's temp-memory high-water mark
+(`compiled.memory_analysis()` — reliable even through the axon tunnel).
+
+Usage: python tools/backbone_ablate.py [--steps N] [--H 721 --W 1440]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--H", type=int, default=721)
+    ap.add_argument("--W", type=int, default=1440)
+    ap.add_argument(
+        "--variants",
+        default="base,mlp_pallas,no_adaln,no_roll,no_attn",
+        help="comma-separated subset to run",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aurora_tpu.model import swin3d
+    from aurora_tpu.model.config import LARGE_CONFIG
+
+    cfg = LARGE_CONFIG
+    bb = cfg.backbone
+    P = cfg.patch_size
+    Hc, Wc = args.H - (args.H % P), args.W - (args.W % P)
+    patch_res = (cfg.latent_levels, Hc // P, Wc // P)
+    L = patch_res[0] * patch_res[1] * patch_res[2]
+    D = cfg.embed_dim
+
+    print(f"device {jax.devices()[0].device_kind}; tokens {patch_res} = {L}, D={D}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    params = swin3d.backbone_init(key, bb, dtype=jnp.float32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (1, L, D), jnp.bfloat16)
+    lead = jnp.ones((D,), jnp.float32)
+
+    def timed_run(fn, label):
+        """Steady-state min time; vary rollout_step so dispatches are fresh."""
+        out = fn(params, x0, jnp.asarray(0, jnp.int32))
+        leaf = out
+        float(leaf[(0,) * leaf.ndim])  # warm
+        times = []
+        for i in range(args.steps):
+            t0 = time.time()
+            out = fn(params, x0, jnp.asarray(i % 3, jnp.int32))
+            float(out[(0,) * out.ndim])
+            times.append(time.time() - t0)
+        print(f"{label}: {min(times)*1e3:.0f} ms  (all: {[f'{t*1e3:.0f}' for t in times]})", flush=True)
+        return min(times)
+
+    def mem_report(fn, label):
+        try:
+            lowered = jax.jit(fn).lower(params, x0, jnp.asarray(0, jnp.int32))
+            ma = lowered.compile().memory_analysis()
+            print(
+                f"{label} memory: temp={ma.temp_size_in_bytes/2**30:.2f} GiB "
+                f"args={ma.argument_size_in_bytes/2**30:.2f} GiB "
+                f"out={ma.output_size_in_bytes/2**30:.2f} GiB",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{label} memory analysis unavailable: {e}", flush=True)
+
+    def make_fn(cfg_bb):
+        def f(p, x, step):
+            return swin3d.backbone_apply(p, x, lead, step, patch_res, cfg_bb)
+        return jax.jit(f)
+
+    variants = args.variants.split(",")
+
+    if "base" in variants:
+        fn = make_fn(bb)
+        mem_report(lambda p, x, s: swin3d.backbone_apply(p, x, lead, s, patch_res, bb), "base")
+        timed_run(fn, "base (attn=pallas, mlp=xla)")
+
+    if "mlp_pallas" in variants:
+        bb2 = dataclasses_replace(bb, mlp_impl="pallas")
+        fn = make_fn(bb2)
+        mem_report(lambda p, x, s: swin3d.backbone_apply(p, x, lead, s, patch_res, bb2), "mlp_pallas")
+        timed_run(fn, "mlp_pallas")
+
+    if "no_adaln" in variants:
+        orig = swin3d.adaptive_layernorm
+        swin3d.adaptive_layernorm = lambda p, x, c, scale_bias=0.0: x
+        try:
+            timed_run(make_fn(bb), "no_adaln (identity film)")
+        finally:
+            swin3d.adaptive_layernorm = orig
+
+    if "no_roll" in variants:
+        orig_roll = jnp.roll
+        swin3d.jnp.roll = lambda x, shift, axis: x
+        try:
+            timed_run(make_fn(bb), "no_roll")
+        finally:
+            swin3d.jnp.roll = orig_roll
+
+    if "no_attn" in variants:
+        orig_wa = swin3d.window_attention_apply
+
+        def wa_skip(p, x, num_heads, groups, rollout_step, cfg):
+            # keep qkv+proj GEMMs, drop the attention core
+            B, nW, N, Dd = x.shape
+            x2 = x.reshape(B * nW * N, Dd)
+            from aurora_tpu.model.nn import linear
+
+            qkv = linear(p["qkv"], x2)
+            return linear(p["proj"], qkv[:, :Dd]).reshape(B, nW, N, Dd)
+
+        swin3d.window_attention_apply = wa_skip
+        try:
+            timed_run(make_fn(bb), "no_attn (gemms+layout only)")
+        finally:
+            swin3d.window_attention_apply = orig_wa
+
+
+def dataclasses_replace(obj, **kw):
+    import dataclasses
+
+    return dataclasses.replace(obj, **kw)
+
+
+if __name__ == "__main__":
+    main()

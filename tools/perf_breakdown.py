@@ -20,17 +20,24 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def timeit(fn, *args, steps=5, warmup=2):
+def timeit(fn, make_args, steps=5, warmup=2):
+    """Tunnel-safe timing: the remote runtime dedupes identical dispatches and does
+    not block reliably in block_until_ready, so every call gets a fresh argument
+    buffer (``make_args(i)``) and syncs by fetching one scalar from the output."""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf[(0,) * leaf.ndim])
+
+    for i in range(warmup):
+        out = fn(*make_args(i))
+    sync(out)
     times = []
-    for _ in range(steps):
+    for i in range(steps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = fn(*make_args(warmup + i))
+        sync(out)
         times.append(time.perf_counter() - t0)
     return min(times), out
 
@@ -94,7 +101,11 @@ def main():
     fwd = jax.jit(
         partial(forward_core, atmos_levels=tuple(float(x) for x in levels), cfg=cfg)
     )
-    t, _ = timeit(fwd, params, surf, static, atmos, enc, step, steps=args.steps)
+    t, _ = timeit(
+        fwd,
+        lambda i: (params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32)),
+        steps=args.steps,
+    )
     gp = Hc * Wc
     print(f"forward_core (device-resident): {t*1e3:.1f} ms  -> {gp/t/1e6:.2f} M grid_points/s", flush=True)
 
@@ -102,35 +113,47 @@ def main():
     patch_res = (cfg.latent_levels, Hc // cfg.patch_size, Wc // cfg.patch_size)
     static_exp = {k: jnp.broadcast_to(v[None, None], (B, T, Hc, Wc)) for k, v in static.items()}
 
+    # Each sub-stage fn takes a fresh tiny eps buffer per call (perturbing one small
+    # operand) so the tunnelled runtime sees a fresh dispatch every iteration.
     enc_fn = jax.jit(
-        lambda p, s, st, a: enc_mod.encoder_apply(
-            p["encoder"], s, st, a, tuple(float(x) for x in levels), enc, cfg
+        lambda p, s, st, a, eps: enc_mod.encoder_apply(
+            p["encoder"],
+            {k: (v + eps if k == next(iter(s)) else v) for k, v in s.items()},
+            st, a, tuple(float(x) for x in levels), enc, cfg,
         )
     )
-    t_enc, x_tokens = timeit(enc_fn, params, surf, static_exp, atmos, steps=args.steps)
+    t_enc, x_tokens = timeit(
+        enc_fn,
+        lambda i: (params, surf, static_exp, atmos, jnp.asarray(i * 1e-30, dtype)),
+        steps=args.steps,
+    )
     print(f"encoder: {t_enc*1e3:.1f} ms   tokens {x_tokens.shape}", flush=True)
 
     # --- backbone alone (bf16 like autocast)
     xb = x_tokens.astype(jnp.bfloat16)
     bb_fn = jax.jit(
-        lambda p, x: swin3d.backbone_apply(
-            p["backbone"], x, enc.lead_time, step, patch_res, cfg.backbone
+        lambda p, x, s: swin3d.backbone_apply(
+            p["backbone"], x, enc.lead_time, s, patch_res, cfg.backbone
         )
     )
-    t_bb, y = timeit(bb_fn, params, xb, steps=args.steps)
+    t_bb, y = timeit(
+        bb_fn, lambda i: (params, xb, jnp.asarray(i % 3, jnp.int32)), steps=args.steps
+    )
     print(f"backbone (bf16): {t_bb*1e3:.1f} ms", flush=True)
 
     # --- decoder alone
     surf_names = tuple(cfg.surf_vars)
     atmos_names = tuple(cfg.atmos_vars)
     dec_fn = jax.jit(
-        lambda p, x: dec_mod.decoder_apply(
-            p["decoder"], x.astype(jnp.float32), surf_names, atmos_names,
+        lambda p, x, eps: dec_mod.decoder_apply(
+            p["decoder"], x.astype(jnp.float32) + eps, surf_names, atmos_names,
             tuple(float(x) for x in levels), enc.levels_dec, patch_res, Hc, Wc, cfg,
         )
     )
-    t_dec, _ = timeit(dec_fn, params, y, steps=args.steps)
-    print(f"decoder: {t_dec*1e3:.1f} ms", flush=True)
+    t_dec, _ = timeit(
+        dec_fn, lambda i: (params, y, jnp.asarray(i * 1e-30, jnp.float32)), steps=args.steps
+    )
+    print(f"decoder: {t_dec*1e3:.1f} ms  (incl. one eps-add pass over the input)", flush=True)
     print(f"sum enc+bb+dec: {(t_enc+t_bb+t_dec)*1e3:.1f} ms vs full {t*1e3:.1f} ms", flush=True)
 
 
