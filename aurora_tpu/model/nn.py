@@ -128,8 +128,13 @@ def adaptive_layernorm_init(key, dim: int, context_dim: int, dtype=jnp.float32) 
 def adaptive_layernorm(
     p: Params, x: jax.Array, c: jax.Array, scale_bias: float = 0.0
 ) -> jax.Array:
-    """``LN(x) * (scale_bias + scale(c)) + shift(c)`` with ``c`` of shape ``(B, Dc)``."""
-    mod = linear(p["modulation"], jax.nn.silu(c))[:, None, :]  # (B, 1, 2D)
+    """``LN(x) * (scale_bias + scale(c)) + shift(c)`` with ``c`` of shape ``(B, Dc)``.
+
+    ``x`` may have any rank ``(B, ..., D)``; the modulation broadcasts over the
+    middle (token) axes.
+    """
+    mod = linear(p["modulation"], jax.nn.silu(c))  # (B, 2D)
+    mod = mod.reshape(mod.shape[0], *([1] * (x.ndim - 2)), mod.shape[-1])
     shift, scale = jnp.split(mod, 2, axis=-1)
     return layernorm(None, x) * (scale_bias + scale) + shift
 

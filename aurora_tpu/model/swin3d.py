@@ -47,6 +47,7 @@ from aurora_tpu.ops.masks import (
     window_bias_from_groups,
     window_group_ids,
 )
+from aurora_tpu.parallel.sharding import TOKENS_5D_SPEC, constrain
 
 __all__ = ["BackboneConfig", "backbone_init", "backbone_apply", "maybe_adjust_windows"]
 
@@ -101,20 +102,24 @@ def crop_3d(x: jax.Array, pad: tuple[int, int, int]) -> jax.Array:
 
 
 def window_partition(x: jax.Array, ws: tuple[int, int, int]) -> jax.Array:
-    """``(B, C, H, W, D) -> (B, nW, N, D)`` with ``N = prod(ws)``.
+    """``(B, C, H, W, D) -> (B, C1, H1, W1, N, D)`` with ``N = prod(ws)``.
 
-    Window order is (C-blocks, H-blocks, W-blocks), matching the mask group-id order.
+    Window-block order is (C-blocks, H-blocks, W-blocks), matching the mask group-id
+    order. The (H1, W1) window-grid axes stay *unflattened* so a (lat, lon)-sharded
+    token grid keeps its sharding through attention — flattening to a single nW axis
+    makes the layout inexpressible to GSPMD and forces window all-gathers (measured:
+    tools/halo_analysis.py).
     """
     B, C, H, W, D = x.shape
     x = x.reshape(B, C // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2], D)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B, C1, H1, W1, wc, wh, ww, D)
-    return x.reshape(B, -1, ws[0] * ws[1] * ws[2], D)
+    return x.reshape(B, C // ws[0], H // ws[1], W // ws[2], ws[0] * ws[1] * ws[2], D)
 
 
 def window_reverse(
     windows: jax.Array, ws: tuple[int, int, int], C: int, H: int, W: int
 ) -> jax.Array:
-    """Inverse of :func:`window_partition`: ``(B, nW, N, D) -> (B, C, H, W, D)``."""
+    """Inverse of :func:`window_partition`: ``(B, C1, H1, W1, N, D) -> (B, C, H, W, D)``."""
     B = windows.shape[0]
     D = windows.shape[-1]
     C1, H1, W1 = C // ws[0], H // ws[1], W // ws[2]
@@ -152,14 +157,17 @@ def window_attention_apply(
     rollout_step: jax.Array,
     cfg: BackboneConfig,
 ) -> jax.Array:
-    """W-MSA over windows ``x: (B, nW, N, D)``.
+    """W-MSA over windows ``x: (B, C1, H1, W1, N, D)``.
 
     ``groups`` are per-token communication-group ids ``(nW, N)`` (NumPy, traced-static)
-    or ``None`` for unmasked windows. The QKV/projection GEMMs and head-split layout run
-    in XLA (it fuses them well); the masked softmax-attention core dispatches to a
-    Pallas kernel on TPU so the (N, N) logits never touch HBM.
+    or ``None`` for unmasked windows. The QKV/projection GEMMs contract the last axis
+    directly — XLA collapses the leading (window-grid) axes into the GEMM M dimension,
+    and under GSPMD the sharded (H1, W1) axes stay local. The masked softmax-attention
+    core dispatches to a Pallas kernel on single-device TPU so the (N, N) logits never
+    touch HBM.
     """
-    B, nW, N, D = x.shape
+    B, C1, H1, W1, N, D = x.shape
+    nW = C1 * H1 * W1
 
     def with_lora(name, y, out):
         if name in p:
@@ -170,31 +178,38 @@ def window_attention_apply(
             )
         return out
 
-    # Flatten to a single 2D GEMM (M = B*nW*N); the reshape is free (row-major) and
-    # gives the MXU one large matmul instead of a leading-dim-batched one.
-    x2 = x.reshape(B * nW * N, D)
-    qkv = with_lora("lora_qkv", x2, linear(p["qkv"], x2)).reshape(B, nW, N, 3 * D)
+    qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, C1, H1, W1, N, 3D)
 
     impl = cfg.attention_impl
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # The Pallas kernel is single-device (a GSPMD-partitioned custom call would
+        # re-gather windows); sharded meshes take the XLA path, which partitions.
+        on_mesh = False
+        try:
+            m = jax.sharding.get_abstract_mesh()
+            on_mesh = m is not None and not m.empty
+        except Exception:
+            pass
+        impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
     if impl == "pallas":
         # Consumes the packed (qkv, head, dh) layout directly: no head transposes.
-        out = _sdpa_windows_fused_pallas(qkv, num_heads, groups)  # (B, nW, N, D)
+        out = _sdpa_windows_fused_pallas(
+            qkv.reshape(B, nW, N, 3 * D), num_heads, groups
+        ).reshape(B, C1, H1, W1, N, D)
     else:
-        qkv = qkv.reshape(B, nW, N, 3, num_heads, D // num_heads)
-        qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # (3, B, nW, h, N, dh)
+        qkv = qkv.reshape(B, C1, H1, W1, N, 3, num_heads, D // num_heads)
+        qkv = jnp.moveaxis(qkv, 5, 0)  # (3, B, C1, H1, W1, N, h, dh)
+        qkv = jnp.swapaxes(qkv, -2, -3)  # (3, B, C1, H1, W1, h, N, dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
         bias = None
         if groups is not None:
-            g = jnp.asarray(groups)
-            bias = jnp.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(
+            g = jnp.asarray(groups).reshape(C1, H1, W1, N)
+            bias = jnp.where(g[..., :, None] == g[..., None, :], 0.0, -100.0).astype(
                 jnp.float32
-            )[None, :, None, :, :]
-        out = sdpa(q, k, v, bias=bias)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW, N, D)
-    out2 = out.reshape(B * nW * N, D)
-    return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(B, nW, N, D)
+            )[None, :, :, :, None, :, :]
+        out = sdpa(q, k, v, bias=bias)  # (B, C1, H1, W1, h, N, dh)
+        out = jnp.swapaxes(out, -2, -3).reshape(B, C1, H1, W1, N, D)
+    return with_lora("lora_proj", out, linear(p["proj"], out))
 
 
 def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = False):
@@ -382,18 +397,21 @@ def swin_block_apply(
     cfg: BackboneConfig,
     warped: bool = True,
 ) -> jax.Array:
-    """One LN-after Swin block: (S)W-MSA + FiLM-modulated residuals.
+    """One LN-after Swin block over 5D tokens ``x: (B, C, H, W, D)``.
 
-    Reference: aurora/model/swin3d.py:440-509.
+    Reference: aurora/model/swin3d.py:440-509. The 5D layout is kept end-to-end
+    through the backbone so the (H, W) axes stay shardable over the (lat, lon)
+    mesh — flattening to ``(B, L, D)`` between blocks forces GSPMD to reshuffle
+    the token grid at every block boundary (measured: tools/halo_analysis.py).
     """
     C, H, W = res
-    B, L, D = x.shape
-    assert L == C * H * W, f"Wrong feature size: {L} vs {C}x{H}x{W}"
+    B = x.shape[0]
+    D = x.shape[-1]
+    assert x.shape[1:4] == (C, H, W), f"Wrong grid: {x.shape} vs {res}"
 
     ws, ss = maybe_adjust_windows(cfg.window_size, shift_size, res)
 
     shortcut = x
-    x = x.reshape(B, C, H, W, D)
 
     shifted = not all(s == 0 for s in ss)
     if shifted:
@@ -416,8 +434,7 @@ def swin_block_apply(
     if shifted:
         x = jnp.roll(x, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
 
-    x = x.reshape(B, L, D)
-    x = shortcut + adaptive_layernorm(p["norm1"], x, c)
+    x = constrain(shortcut + adaptive_layernorm(p["norm1"], x, c), TOKENS_5D_SPEC)
 
     mimpl = cfg.mlp_impl
     if mimpl == "auto":
@@ -429,7 +446,7 @@ def swin_block_apply(
         )
     else:
         mlp_out = mlp(p["mlp"], x)
-    x = x + adaptive_layernorm(p["norm2"], mlp_out, c)
+    x = constrain(x + adaptive_layernorm(p["norm2"], mlp_out, c), TOKENS_5D_SPEC)
     return x
 
 
@@ -444,19 +461,18 @@ def patch_merge_init(key, dim: int, dtype=jnp.float32):
 
 
 def patch_merge_apply(p, x: jax.Array, res: tuple[int, int, int]) -> jax.Array:
-    """2×2 spatial merge over (H, W): ``(B, C*H*W, D) -> (B, C*(H/2)*(W/2), 2D)``.
+    """2×2 spatial merge over (H, W): ``(B, C, H, W, D) -> (B, C, H/2, W/2, 2D)``.
 
     Odd H/W are centre-padded first (reference: aurora/model/swin3d.py:526-555).
     """
     C, H, W = res
-    B, L, D = x.shape
-    assert L == C * H * W
-    x = x.reshape(B, C, H, W, D)
+    B, D = x.shape[0], x.shape[-1]
+    assert x.shape[1:4] == (C, H, W)
     x = pad_3d(x, (0, H % 2, W % 2))
     H2, W2 = x.shape[2] // 2, x.shape[3] // 2
     x = x.reshape(B, C, H2, 2, W2, 2, D)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H2, W2, 2, 2, D)
-    x = x.reshape(B, C * H2 * W2, 4 * D)
+    x = x.reshape(B, C, H2, W2, 4 * D)
     x = layernorm(p["norm"], x)
     return linear(p["reduction"], x)
 
@@ -473,17 +489,16 @@ def patch_split_init(key, dim: int, dtype=jnp.float32):
 def patch_split_apply(
     p, x: jax.Array, res: tuple[int, int, int], crop: tuple[int, int, int]
 ) -> jax.Array:
-    """Inverse of patch merging: ``(B, C*H*W, D) -> (B, C*(2H)*(2W), D/2)`` with the
+    """Inverse of patch merging: ``(B, C, H, W, D) -> (B, C, 2H', 2W', D/2)`` with the
     merge padding cropped away (reference: aurora/model/swin3d.py:558-613)."""
     C, H, W = res
-    B, L, D = x.shape
-    assert L == C * H * W
-    x = linear(p["lin1"], x)  # (B, L, 2D)
+    B, D = x.shape[0], x.shape[-1]
+    assert x.shape[1:4] == (C, H, W)
+    x = linear(p["lin1"], x)  # (B, C, H, W, 2D)
     x = x.reshape(B, C, H, W, 2, 2, D // 2)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H, 2, W, 2, D/2)
     x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
     x = crop_3d(x, crop)
-    x = x.reshape(B, -1, D // 2)
     x = layernorm(p["norm"], x)
     return linear(p["lin2"], x)
 
@@ -595,6 +610,9 @@ def backbone_apply(
     lt = jnp.broadcast_to(lead_time_encode.astype(x.dtype), (B, lead_time_encode.shape[-1]))
     c = linear(params["time_mlp"]["fc2"], jax.nn.silu(linear(params["time_mlp"]["fc1"], lt)))
 
+    # 5D token layout throughout: (H, W) stay shardable over the (lat, lon) mesh.
+    x = constrain(x.reshape(B, *patch_res, D), TOKENS_5D_SPEC)
+
     skips = []
     for i, layer in enumerate(params["encoder_layers"]):
         x = _run_blocks(
@@ -602,7 +620,9 @@ def backbone_apply(
         )
         skips.append(x)
         if "downsample" in layer:
-            x = patch_merge_apply(layer["downsample"], x, all_enc_res[i])
+            x = constrain(
+                patch_merge_apply(layer["downsample"], x, all_enc_res[i]), TOKENS_5D_SPEC
+            )
 
     for i, layer in enumerate(params["decoder_layers"]):
         index = n_dec - i - 1
@@ -610,10 +630,15 @@ def backbone_apply(
             layer, x, c, all_enc_res[index], cfg.decoder_num_heads[i], rollout_step, cfg
         )
         if "upsample" in layer:
-            x = patch_split_apply(layer["upsample"], x, all_enc_res[index], padded_outs[index - 1])
+            x = constrain(
+                patch_split_apply(
+                    layer["upsample"], x, all_enc_res[index], padded_outs[index - 1]
+                ),
+                TOKENS_5D_SPEC,
+            )
 
         if 0 < i < n_dec - 1:
             x = x + skips[index - 1]
         elif i == n_dec - 1:
             x = jnp.concatenate([x, skips[0]], axis=-1)
-    return x
+    return x.reshape(B, L, x.shape[-1])

@@ -126,12 +126,11 @@ def main():
 
         def wa_skip(p, x, num_heads, groups, rollout_step, cfg):
             # keep qkv+proj GEMMs, drop the attention core
-            B, nW, N, Dd = x.shape
-            x2 = x.reshape(B * nW * N, Dd)
+            Dd = x.shape[-1]
             from aurora_tpu.model.nn import linear
 
-            qkv = linear(p["qkv"], x2)
-            return linear(p["proj"], qkv[:, :Dd]).reshape(B, nW, N, Dd)
+            qkv = linear(p["qkv"], x)
+            return linear(p["proj"], qkv[..., :Dd])
 
         swin3d.window_attention_apply = wa_skip
         try:
