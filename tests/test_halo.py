@@ -1,0 +1,86 @@
+"""Halo-exchange regression: the sharded backbone must communicate via thin
+collective-permutes, not token-grid all-gathers.
+
+Compiles a single-stage backbone over an aligned (lat=2, lon=4) virtual mesh where
+every window tiles inside one shard (per-shard grid 4x6x12 vs window 2x6x12) and
+asserts on the SPMD HLO (SURVEY.md §2.5 item 2; VERDICT round-1 weak #5):
+
+* every shifted-window roll lowers to ``collective-permute`` strips whose total
+  bytes stay a small multiple of the token tensor (thin halos, not full rings);
+* all-gathers are confined to the program output boundary (the final flatten to
+  ``(B, L, D)`` — consumed shard-local once the decoder is sharded), never the
+  per-block attention path.
+
+``tools/halo_analysis.py`` is the exploratory version of this measurement.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding
+
+from aurora_tpu.model import swin3d
+from aurora_tpu.parallel.mesh import make_mesh
+from aurora_tpu.parallel.sharding import TOKENS_5D_SPEC, replicate
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from halo_analysis import collect_collectives  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def compiled_hlo():
+    bb = swin3d.BackboneConfig(
+        embed_dim=128,
+        encoder_depths=(2,),
+        encoder_num_heads=(4,),
+        decoder_depths=(2,),
+        decoder_num_heads=(4,),
+    )
+    patch_res = (4, 12, 48)
+    L = 4 * 12 * 48
+    params = swin3d.backbone_init(jax.random.PRNGKey(0), bb, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, L, 128), jnp.bfloat16)
+    lead = jnp.ones((128,), jnp.float32)
+    mesh = make_mesh(data=1, lat=2, lon=4)
+    with jax.set_mesh(mesh):
+        p_sh = replicate(params, mesh)
+        x_sh = jax.device_put(
+            x.reshape(1, *patch_res, 128), NamedSharding(mesh, TOKENS_5D_SPEC)
+        ).reshape(1, L, 128)
+        compiled = (
+            jax.jit(lambda p, xx, s: swin3d.backbone_apply(p, xx, lead, s, patch_res, bb))
+            .lower(p_sh, x_sh, jnp.asarray(0, jnp.int32))
+            .compile()
+        )
+    token_bytes = L * 128 * 2
+    return collect_collectives(compiled.as_text()), token_bytes
+
+
+def test_rolls_lower_to_collective_permute(compiled_hlo):
+    cols, token_bytes = compiled_hlo
+    cp = cols.get("collective-permute")
+    assert cp is not None, f"no collective-permute emitted; got {sorted(cols)}"
+    # 2 shifted blocks x 2 rolls, each splitting into >= 2 axis permutes.
+    assert cp["count"] >= 4
+    # Thin halos: the strips must total well under 2x the token tensor.
+    assert cp["bytes"] <= 2 * token_bytes, (
+        f"halo volume {cp['bytes']} vs token bytes {token_bytes}"
+    )
+
+
+def test_no_token_grid_all_gather_in_blocks(compiled_hlo):
+    cols, token_bytes = compiled_hlo
+    ag = cols.get("all-gather", {"count": 0, "bytes": 0, "shapes": {}})
+    # Only the program-output flatten may gather (<= 3 ops). Attention/window
+    # layout gathering would show up as dozens of window-shaped all-gathers
+    # (the round-1 lowering emitted 30+; see git history of halo_analysis).
+    assert ag["count"] <= 3, f"all-gathers in block path: {dict(ag['shapes'])}"
+
+
+def test_no_all_to_all_or_reduce_scatter(compiled_hlo):
+    cols, _ = compiled_hlo
+    assert "all-to-all" not in cols
+    assert "reduce-scatter" not in cols
