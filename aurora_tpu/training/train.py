@@ -18,12 +18,47 @@ import optax
 from aurora_tpu.model.aurora import forward_core
 from aurora_tpu.model.config import AuroraConfig
 
-__all__ = ["mae_loss", "make_train_step", "adamw"]
+__all__ = ["mae_loss", "make_train_step", "adamw", "lora_mask"]
 
 
-def adamw(lr: float = 3e-4, weight_decay: float = 0.0) -> optax.GradientTransformation:
-    """The reference fine-tuning optimiser (AdamW, 3e-4)."""
-    return optax.adamw(lr, weight_decay=weight_decay)
+def lora_mask(params) -> dict:
+    """Boolean pytree marking LoRA adapter leaves (``lora_qkv``/``lora_proj`` banks).
+
+    Use with ``adamw(trainable=lora_mask)`` for the LoRA-only fine-tuning recipe:
+    the base model stays frozen, only the per-rollout-step adapter banks train
+    (reference contract: docs/finetuning.md "extending the model with LoRA").
+    """
+
+    def walk(tree, in_lora=False):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_lora or k.startswith("lora_")) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, in_lora) for v in tree]
+        return in_lora
+
+    return walk(params)
+
+
+def adamw(
+    lr: float = 3e-4,
+    weight_decay: float = 0.0,
+    accum_steps: int = 1,
+    trainable=None,
+) -> optax.GradientTransformation:
+    """The reference fine-tuning optimiser (AdamW, 3e-4), with first-class extras:
+
+    * ``trainable``: a params→bool-pytree callable (e.g. :func:`lora_mask`) — only
+      marked leaves get optimiser state and updates (``optax.masked``), so a
+      LoRA-only run carries ~KBs of AdamW moments instead of 2×1.3 B.
+    * ``accum_steps``: gradient accumulation via ``optax.MultiSteps`` — parameters
+      move every N micro-batches with the averaged gradient.
+    """
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if trainable is not None:
+        tx = optax.masked(tx, trainable)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def mae_loss(pred_surf, pred_atmos, tgt_surf, tgt_atmos, lat_weights=None):
@@ -54,15 +89,25 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     atmos_levels: tuple[float, ...],
     loss_fn=mae_loss,
+    trainable=None,
 ):
     """Build a jitted train step ``(params, opt_state, batch, targets, enc, step) →
     (params, opt_state, loss)`` with donated params/opt_state.
 
     Under an active ``jax.set_mesh`` context the step runs SPMD: batch sharded over
     ``data``, spatial dims over ``(lat, lon)``, gradient all-reduce inserted by XLA.
+
+    ``trainable`` (params→bool-pytree, e.g. :func:`lora_mask`) stops gradients into
+    frozen leaves so XLA dead-code-eliminates their backward pass — pass the same
+    mask to :func:`adamw` so they get no optimiser state either.
     """
 
     def compute_loss(params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos):
+        if trainable is not None:
+            mask = trainable(params)
+            params = jax.tree_util.tree_map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
+            )
         pred_surf, pred_atmos = forward_core(
             params, surf, static, atmos, enc, rollout_step, atmos_levels, cfg
         )
