@@ -163,3 +163,17 @@ def test_channel_read_timeout(tmp_path):
     channel = LocalFileChannel(tmp_path / "comm")
     with pytest.raises(TimeoutError):
         channel.read("no-such-task", "input.nc.ack", timeout=0.5)
+
+
+def test_interactive_field_data_url():
+    """The interactive-map overlay encoder renders a data URL (demo parity item)."""
+    import numpy as np
+
+    from aurora_tpu.foundry.demo.interactive import field_data_url
+
+    H, W = 18, 36
+    lon = np.linspace(0, 360, W, endpoint=False)
+    field = np.random.default_rng(0).standard_normal((H, W))
+    url = field_data_url(field, lon, "viridis", -2, 2, dpi=50)
+    assert url.startswith("data:image/png;base64,")
+    assert len(url) > 500
