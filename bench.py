@@ -109,8 +109,33 @@ def bench_jax(steps=3):
         times.append(time.time() - t0)
     dt = min(times)
     log(f"device-resident step times: {[f'{t:.3f}' for t in times]}")
+
+    # Roll-out steps/s (BASELINE.json north-star pair): the autoregressive feedback
+    # loop with all state device-resident — each step's prediction is concatenated
+    # onto the history and fed back; only a sync scalar crosses the tunnel.
+    def roll_step(surf_d, atmos_d, i):
+        out_s, out_a = fwd(params, surf_d, static, atmos_d, enc, jnp.asarray(i, jnp.int32))
+        surf_d = {
+            k: jnp.concatenate([surf_d[k][:, 1:], out_s[k][:, None]], axis=1) for k in surf_d
+        }
+        atmos_d = {
+            k: jnp.concatenate([atmos_d[k][:, 1:], out_a[k][:, None]], axis=1)
+            for k in atmos_d
+        }
+        return surf_d, atmos_d, out_s
+
+    s_d, a_d, out_s = roll_step(surf, atmos, 0)  # warm the concat programs
+    float(next(iter(out_s.values()))[0, 0, 0])
+    t0 = time.time()
+    n_roll = 3
+    for i in range(1, 1 + n_roll):
+        s_d, a_d, out_s = roll_step(s_d, a_d, i)
+    float(next(iter(out_s.values()))[0, 0, 0])
+    dt_roll = (time.time() - t0) / n_roll
+    log(f"device-resident rollout: {dt_roll:.3f} s/step -> {1.0/dt_roll:.3f} steps/s")
+
     grid_points = (H_FULL - 1) * W
-    return grid_points / dt, dt
+    return grid_points / dt, dt, 1.0 / dt_roll
 
 
 def bench_torch_reference():
@@ -157,9 +182,16 @@ def bench_torch_reference():
 
 
 def main():
-    value, dt = bench_jax()
+    value, dt, roll_sps = bench_jax()
     baseline = bench_torch_reference()
     vs = value / baseline if baseline else 1.0
+    extra = {"rollout_steps_per_s": round(roll_sps, 3)}
+    # 10-step roll-out parity vs the torch reference (small model, f32), produced by
+    # tools/rollout_parity.py and cached — the other half of the north-star pair.
+    parity_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_PARITY.json")
+    if os.path.exists(parity_file):
+        with open(parity_file) as f:
+            extra["rollout10_max_rel_err_vs_torch"] = json.load(f)["max_rel_err"]
     print(
         json.dumps(
             {
@@ -167,6 +199,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "grid_points/s/chip",
                 "vs_baseline": round(vs, 2),
+                **extra,
             }
         )
     )

@@ -254,10 +254,11 @@ def test_window_masks_match_reference(reference):
 
 def test_rollout_parity_f32_10steps(reference, f64_pos_encoding):
     """Ten f32 roll-out steps must track the f32 reference within golden-test-style
-    tolerances (reference tests/test_model.py:45-61 allows mean rel err 1e-4..5e-3 for a
-    single f64 step; f32 trajectories accumulate rounding, so the bar here is 1e-3 at
-    step 0 growing to 5e-2 by step 9 — both implementations drift from the true f64
-    trajectory at the same rate)."""
+    tolerances. Measured drift (tools/rollout_parity.py, ROLLOUT_PARITY.json) is
+    ~1e-6..2e-6 mean-rel across all 10 steps; the bar here is 2e-5 * 1.5^i (40x
+    headroom at step 0) so real regressions trip it while rounding-order noise
+    cannot. The reference's own golden test allows 1e-4..5e-3 for a single f64 step
+    (reference tests/test_model.py:45-61)."""
     import torch
 
     from aurora_tpu import AuroraSmallPretrained, rollout
@@ -274,7 +275,7 @@ def test_rollout_parity_f32_10steps(reference, f64_pos_encoding):
     preds = list(rollout(model, params, batch, steps=10))
 
     for i, (pred, ref_pred) in enumerate(zip(preds, ref_preds)):
-        tol = 1e-3 * (1.5 ** i)
+        tol = 2e-5 * (1.5 ** i)
         for k in ("2t", "msl"):
             ours = np.asarray(pred.surf_vars[k], dtype=np.float64)
             theirs = ref_pred.surf_vars[k].double().numpy()
