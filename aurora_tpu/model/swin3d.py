@@ -149,6 +149,15 @@ def window_attention_init(key, dim: int, cfg: BackboneConfig, dtype=jnp.float32)
     return p
 
 
+def mesh_active() -> bool:
+    """True when tracing under an active (non-empty) jax mesh context."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        return m is not None and not m.empty
+    except Exception:
+        return False
+
+
 def window_attention_apply(
     p,
     x: jax.Array,
@@ -160,14 +169,20 @@ def window_attention_apply(
     """W-MSA over windows ``x: (B, C1, H1, W1, N, D)``.
 
     ``groups`` are per-token communication-group ids ``(nW, N)`` (NumPy, traced-static)
-    or ``None`` for unmasked windows. The QKV/projection GEMMs contract the last axis
-    directly — XLA collapses the leading (window-grid) axes into the GEMM M dimension,
-    and under GSPMD the sharded (H1, W1) axes stay local. The masked softmax-attention
-    core dispatches to a Pallas kernel on single-device TPU so the (N, N) logits never
-    touch HBM.
+    or ``None`` for unmasked windows. Two layout regimes (measured:
+    tools/backbone_ablate.py / tools/halo_analysis.py):
+
+    * **Unsharded** (the single-chip bench path): the QKV/proj GEMMs run on an
+      explicitly flattened ``(B·nW·N, D)`` — one large MXU GEMM; the batched
+      leading-dim form costs ~20% backbone time. The masked softmax-attention core
+      is a fused Pallas kernel on TPU (the (N, N) logits never touch HBM).
+    * **Under a mesh**: the window-grid axes (H1, W1) stay unflattened so GSPMD
+      keeps them sharded over (lat, lon) — flattening forces window all-gathers.
+      XLA's SDPA path partitions cleanly; the Pallas custom call would not.
     """
     B, C1, H1, W1, N, D = x.shape
     nW = C1 * H1 * W1
+    on_mesh = mesh_active()
 
     def with_lora(name, y, out):
         if name in p:
@@ -178,18 +193,16 @@ def window_attention_apply(
             )
         return out
 
-    qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, C1, H1, W1, N, 3D)
+    if on_mesh:
+        qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, C1, H1, W1, N, 3D)
+    else:
+        x2 = x.reshape(B * nW * N, D)
+        qkv = with_lora("lora_qkv", x2, linear(p["qkv"], x2)).reshape(
+            B, C1, H1, W1, N, 3 * D
+        )
 
     impl = cfg.attention_impl
     if impl == "auto":
-        # The Pallas kernel is single-device (a GSPMD-partitioned custom call would
-        # re-gather windows); sharded meshes take the XLA path, which partitions.
-        on_mesh = False
-        try:
-            m = jax.sharding.get_abstract_mesh()
-            on_mesh = m is not None and not m.empty
-        except Exception:
-            pass
         impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
     if impl == "pallas":
         # Consumes the packed (qkv, head, dh) layout directly: no head transposes.
@@ -209,7 +222,12 @@ def window_attention_apply(
             )[None, :, :, :, None, :, :]
         out = sdpa(q, k, v, bias=bias)  # (B, C1, H1, W1, h, N, dh)
         out = jnp.swapaxes(out, -2, -3).reshape(B, C1, H1, W1, N, D)
-    return with_lora("lora_proj", out, linear(p["proj"], out))
+    if on_mesh:
+        return with_lora("lora_proj", out, linear(p["proj"], out))
+    out2 = out.reshape(B * nW * N, D)
+    return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(
+        B, C1, H1, W1, N, D
+    )
 
 
 def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = False):
@@ -434,6 +452,13 @@ def swin_block_apply(
     if shifted:
         x = jnp.roll(x, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
 
+    # Unsharded: run the residual/LN/MLP chain on the flat (B, L, D) layout (the
+    # fastest single-chip GEMM shape — see window_attention_apply). Under a mesh:
+    # stay 5D so (lat, lon) shardings survive, re-constrained per residual.
+    on_mesh = mesh_active()
+    if not on_mesh:
+        x = x.reshape(B, C * H * W, D)
+        shortcut = shortcut.reshape(B, C * H * W, D)
     x = constrain(shortcut + adaptive_layernorm(p["norm1"], x, c), TOKENS_5D_SPEC)
 
     mimpl = cfg.mlp_impl
@@ -447,6 +472,8 @@ def swin_block_apply(
     else:
         mlp_out = mlp(p["mlp"], x)
     x = constrain(x + adaptive_layernorm(p["norm2"], mlp_out, c), TOKENS_5D_SPEC)
+    if not on_mesh:
+        x = x.reshape(B, C, H, W, D)
     return x
 
 
@@ -472,9 +499,12 @@ def patch_merge_apply(p, x: jax.Array, res: tuple[int, int, int]) -> jax.Array:
     H2, W2 = x.shape[2] // 2, x.shape[3] // 2
     x = x.reshape(B, C, H2, 2, W2, 2, D)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H2, W2, 2, 2, D)
-    x = x.reshape(B, C, H2, W2, 4 * D)
-    x = layernorm(p["norm"], x)
-    return linear(p["reduction"], x)
+    if mesh_active():
+        x = x.reshape(B, C, H2, W2, 4 * D)
+        return linear(p["reduction"], layernorm(p["norm"], x))
+    x = x.reshape(B * C * H2 * W2, 4 * D)  # flat GEMM (single-chip fast path)
+    x = linear(p["reduction"], layernorm(p["norm"], x))
+    return x.reshape(B, C, H2, W2, 2 * D)
 
 
 def patch_split_init(key, dim: int, dtype=jnp.float32):
@@ -494,13 +524,20 @@ def patch_split_apply(
     C, H, W = res
     B, D = x.shape[0], x.shape[-1]
     assert x.shape[1:4] == (C, H, W)
-    x = linear(p["lin1"], x)  # (B, C, H, W, 2D)
+    on_mesh = mesh_active()
+    if on_mesh:
+        x = linear(p["lin1"], x)  # (B, C, H, W, 2D)
+    else:
+        x = linear(p["lin1"], x.reshape(B * C * H * W, D)).reshape(B, C, H, W, 2 * D)
     x = x.reshape(B, C, H, W, 2, 2, D // 2)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H, 2, W, 2, D/2)
     x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
     x = crop_3d(x, crop)
-    x = layernorm(p["norm"], x)
-    return linear(p["lin2"], x)
+    if on_mesh:
+        return linear(p["lin2"], layernorm(p["norm"], x))
+    Hc, Wc = x.shape[2], x.shape[3]
+    x = x.reshape(B * C * Hc * Wc, D // 2)
+    return linear(p["lin2"], layernorm(p["norm"], x)).reshape(B, C, Hc, Wc, D // 2)
 
 
 # ------------------------------------------------------------------------ backbone
