@@ -41,7 +41,7 @@ from aurora_tpu.model.nn import (
     sdpa,
     trunc_normal_init,
 )
-from aurora_tpu.ops.mlp import mlp_fused
+from aurora_tpu.ops.mlp import mlp_adaln_residual_fused, mlp_fused
 from aurora_tpu.ops.masks import (
     three_sided_padding,
     window_bias_from_groups,
@@ -463,15 +463,27 @@ def swin_block_apply(
 
     mimpl = cfg.mlp_impl
     if mimpl == "auto":
-        mimpl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if mimpl == "pallas":
+        mimpl = "fused" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+    if mimpl == "fused" and not on_mesh:
+        # Whole MLP branch (fc1 -> GELU -> fc2 -> AdaLN -> +residual) as one Pallas
+        # kernel: x touches HBM twice. The FiLM modulation is a tiny GEMM outside.
         mp = p["mlp"]
-        mlp_out = mlp_fused(
-            x, mp["fc1"]["weight"], mp["fc1"]["bias"], mp["fc2"]["weight"], mp["fc2"]["bias"]
+        mod = linear(p["norm2"]["modulation"], jax.nn.silu(c))  # (B, 2D)
+        shift_c, scale_c = jnp.split(mod, 2, axis=-1)
+        x = mlp_adaln_residual_fused(
+            x, mp["fc1"]["weight"], mp["fc1"]["bias"],
+            mp["fc2"]["weight"], mp["fc2"]["bias"], shift_c, scale_c,
         )
     else:
-        mlp_out = mlp(p["mlp"], x)
-    x = constrain(x + adaptive_layernorm(p["norm2"], mlp_out, c), TOKENS_5D_SPEC)
+        if mimpl == "pallas" and not on_mesh:
+            mp = p["mlp"]
+            mlp_out = mlp_fused(
+                x, mp["fc1"]["weight"], mp["fc1"]["bias"],
+                mp["fc2"]["weight"], mp["fc2"]["bias"],
+            )
+        else:
+            mlp_out = mlp(p["mlp"], x)
+        x = constrain(x + adaptive_layernorm(p["norm2"], mlp_out, c), TOKENS_5D_SPEC)
     if not on_mesh:
         x = x.reshape(B, C, H, W, D)
     return x

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mlp_fused"]
+__all__ = ["mlp_fused", "mlp_adaln_residual_fused"]
 
 
 def _pick_row_tile(rows: int, max_tile: int = 512) -> int:
@@ -121,3 +121,107 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
         ),
     )(x2, w1, b1, w2, b2)
     return out.reshape(*orig_shape[:-1], D_out)
+
+
+def mlp_adaln_residual_fused(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    shift: jax.Array,
+    scale: jax.Array,
+    scale_bias: float = 0.0,
+    interpret: bool = False,
+):
+    """``x + AdaLN(mlp(x))`` — the whole Swin-block MLP branch as ONE kernel.
+
+    ``x``: (B, L, D); ``shift``/``scale``: (B, D) FiLM modulations (precomputed from
+    the conditioning outside — a tiny GEMM). Fuses, relative to the unfused path:
+    the 4x hidden activation (never leaves VMEM), the separate erf-GELU pass, the
+    LayerNorm read/write, the FiLM affine, and the residual add — i.e. the entire
+    post-attention half of the block touches HBM exactly twice (read x, write out).
+
+    Numerics: GEMMs accumulate f32; the fc2 output is rounded to the input dtype
+    (as the unfused path materialises it) and LayerNorm statistics are computed in
+    f32 two-pass form in VMEM. Matches the XLA path to ~1 bf16 ulp (exact-form
+    equivalence is tested in interpret mode, tests/test_kernels.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, D_in = x.shape
+    H = w1.shape[1]
+    D_out = w2.shape[1]
+    assert D_out == D_in, "residual form needs D_out == D_in"
+    rows = B * L
+    x2 = x.reshape(rows, D_in)
+
+    # Row tiles must stay inside one batch element so each tile has ONE modulation
+    # row; L is a multiple of 8 for every real grid (H/P * W/P * C).
+    R = _pick_row_tile(L)
+    HC = _pick_hidden_tile(H, D_in, x2.dtype.itemsize)
+    nR, nH = rows // R, H // HC
+
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    b1 = b1.astype(jnp.float32).reshape(1, H)
+    b2 = b2.astype(jnp.float32).reshape(1, D_out)
+    shift = shift.astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sh_ref, sc_ref, out_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        h = jax.lax.dot_general(
+            x_ref[...], w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...]
+        h = _gelu_exact(h.astype(x_ref.dtype).astype(jnp.float32)).astype(x_ref.dtype)
+        acc_ref[...] += jax.lax.dot_general(
+            h, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(j == nH - 1)
+        def _():
+            y = (acc_ref[...] + b2_ref[...]).astype(x_ref.dtype)  # round like unfused
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+            ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+            mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
+            out_ref[...] = (x_ref[...].astype(jnp.float32) + mod).astype(out_ref.dtype)
+
+    per_batch = L // R
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nR, nH),
+        in_specs=[
+            pl.BlockSpec((R, D_in), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HC, D_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i, j: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i, j: (i // per_batch, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, D_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, D_out), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * D_in * H + 2 * rows * H * D_out,
+            bytes_accessed=(2 * rows * D_in + D_in * H + H * D_out + rows * D_out)
+            * x.dtype.itemsize,
+            transcendentals=rows * H,
+        ),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2, shift, scale)
+    return out.reshape(B, L, D_out)

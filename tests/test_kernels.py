@@ -112,3 +112,43 @@ def test_bf16_layernorm_large_mean_channels():
 
         err = np.abs(got - want).max()
         assert err < 0.06, f"mean={mean} std={std}: max err {err}"
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_mlp_adaln_residual_fused_matches_xla(dtype):
+    """The fused block-tail kernel (mlp -> AdaLN -> +residual) == the unfused path."""
+    import jax.numpy as jnp
+
+    from aurora_tpu.model.nn import adaptive_layernorm, mlp
+    from aurora_tpu.ops.mlp import mlp_adaln_residual_fused
+
+    dt = jnp.dtype(dtype)
+    B, L, D, Hd = 2, 64, 128, 256
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (B, L, D), dt)
+    w1 = jax.random.normal(ks[1], (D, Hd), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (Hd,), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[3], (Hd, D), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (D,), jnp.float32) * 0.05
+    c = jax.random.normal(ks[5], (B, D), dt)
+    mod_p = {
+        "modulation": {
+            "weight": jax.random.normal(jax.random.PRNGKey(9), (D, 2 * D), jnp.float32) * 0.02,
+            "bias": jnp.zeros((2 * D,), jnp.float32),
+        }
+    }
+
+    mlp_p = {"fc1": {"weight": w1, "bias": b1}, "fc2": {"weight": w2, "bias": b2}}
+    want = x + adaptive_layernorm(mod_p, mlp(mlp_p, x), c)
+
+    from aurora_tpu.model.nn import linear
+
+    mod = linear(mod_p["modulation"], jax.nn.silu(c))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    got = mlp_adaln_residual_fused(x, w1, b1, w2, b2, shift, scale, interpret=True)
+
+    a = np.asarray(want, np.float64)
+    b = np.asarray(got, np.float64)
+    tol = 1e-5 if dtype == "float32" else 0.03
+    assert np.abs(a - b).max() < tol, np.abs(a - b).max()

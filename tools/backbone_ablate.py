@@ -105,6 +105,12 @@ def main():
         mem_report(lambda p, x, s: swin3d.backbone_apply(p, x, lead, s, patch_res, bb2), "mlp_pallas")
         timed_run(fn, "mlp_pallas")
 
+    if "mlp_fused" in variants:
+        bb3 = dataclasses_replace(bb, mlp_impl="fused")
+        fn = make_fn(bb3)
+        mem_report(lambda p, x, s: swin3d.backbone_apply(p, x, lead, s, patch_res, bb3), "mlp_fused")
+        timed_run(fn, "mlp_fused (mlp+adaln+residual kernel)")
+
     if "no_adaln" in variants:
         orig = swin3d.adaptive_layernorm
         swin3d.adaptive_layernorm = lambda p, x, c, scale_bias=0.0: x
