@@ -55,7 +55,7 @@ class AuroraConfig:
     remat: bool = False
     # "auto" = Pallas kernels on TPU, plain XLA elsewhere; "xla" forces the XLA path.
     attention_impl: str = "auto"
-    mlp_impl: str = "xla"
+    mlp_impl: str = "auto"
     variant: str = "base"  # "base" | "air_pollution" | "wave" — selects in-graph hooks.
     # Process the per-token-column level (de)aggregation in chunks of this many token
     # columns to bound peak HBM (None = single shot). Math is chunk-size invariant.

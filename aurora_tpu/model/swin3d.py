@@ -41,7 +41,11 @@ from aurora_tpu.model.nn import (
     sdpa,
     trunc_normal_init,
 )
-from aurora_tpu.ops.mlp import mlp_adaln_residual_fused, mlp_fused
+from aurora_tpu.ops.mlp import (
+    linear_adaln_residual_fused,
+    mlp_adaln_residual_fused,
+    mlp_fused,
+)
 from aurora_tpu.ops.masks import (
     three_sided_padding,
     window_bias_from_groups,
@@ -67,11 +71,12 @@ class BackboneConfig:
     lora_r: int = 8
     lora_alpha: int = 8
     remat: bool = False
-    # "auto" = Pallas fused kernel on TPU, plain XLA elsewhere.
+    # "auto" = Pallas fused kernel on single-device TPU, plain XLA elsewhere.
     attention_impl: str = "auto"
-    # The fused-MLP kernel saves ~14 ms on the 1.3B backbone but its operand layout
-    # constraints cost ~4 GB of extra peak HBM at 0.25 deg; off by default.
-    mlp_impl: str = "xla"
+    # "auto" = fused MLP+AdaLN+residual Pallas kernel on single-device TPU (saves
+    # ~70 ms and ~2 GiB of scheduler-held intermediates on the 1.3 B backbone —
+    # tools/backbone_ablate.py), plain XLA elsewhere.
+    mlp_impl: str = "auto"
 
 
 def maybe_adjust_windows(window_size, shift_size, res):
@@ -165,6 +170,7 @@ def window_attention_apply(
     groups,
     rollout_step: jax.Array,
     cfg: BackboneConfig,
+    project: bool = True,
 ) -> jax.Array:
     """W-MSA over windows ``x: (B, C1, H1, W1, N, D)``.
 
@@ -222,6 +228,9 @@ def window_attention_apply(
             )[None, :, :, :, None, :, :]
         out = sdpa(q, k, v, bias=bias)  # (B, C1, H1, W1, h, N, dh)
         out = jnp.swapaxes(out, -2, -3).reshape(B, C1, H1, W1, N, D)
+    if not project:
+        # Caller fuses proj+AdaLN+residual after un-windowing (see swin_block_apply).
+        return out
     if on_mesh:
         return with_lora("lora_proj", out, linear(p["proj"], out))
     out2 = out.reshape(B * nW * N, D)
@@ -444,8 +453,22 @@ def swin_block_apply(
     xp = pad_3d(x, pad)
     _, Cp, Hp, Wp, _ = xp.shape
 
-    windows = window_partition(xp, ws)  # (B, nW, N, D)
-    attn = window_attention_apply(p["attn"], windows, num_heads, groups, rollout_step, cfg)
+    on_mesh = mesh_active()
+    mimpl = cfg.mlp_impl
+    if mimpl == "auto":
+        mimpl = "fused" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+    # Fused attention tail: the per-token proj GEMM commutes with window-reverse,
+    # crop and roll, so it runs *after* un-windowing inside one Pallas kernel with
+    # AdaLN and the residual (LoRA on proj takes the unfused path).
+    fuse_attn_tail = (
+        mimpl == "fused" and not on_mesh and "lora_proj" not in p["attn"]
+    )
+
+    windows = window_partition(xp, ws)  # (B, C1, H1, W1, N, D)
+    attn = window_attention_apply(
+        p["attn"], windows, num_heads, groups, rollout_step, cfg,
+        project=not fuse_attn_tail,
+    )
     xp = window_reverse(attn, ws, Cp, Hp, Wp)
     x = crop_3d(xp, pad)
 
@@ -455,15 +478,19 @@ def swin_block_apply(
     # Unsharded: run the residual/LN/MLP chain on the flat (B, L, D) layout (the
     # fastest single-chip GEMM shape — see window_attention_apply). Under a mesh:
     # stay 5D so (lat, lon) shardings survive, re-constrained per residual.
-    on_mesh = mesh_active()
     if not on_mesh:
         x = x.reshape(B, C * H * W, D)
         shortcut = shortcut.reshape(B, C * H * W, D)
-    x = constrain(shortcut + adaptive_layernorm(p["norm1"], x, c), TOKENS_5D_SPEC)
+    if fuse_attn_tail:
+        mod1 = linear(p["norm1"]["modulation"], jax.nn.silu(c))  # (B, 2D)
+        shift1, scale1 = jnp.split(mod1, 2, axis=-1)
+        x = linear_adaln_residual_fused(
+            x, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"],
+            shortcut, shift1, scale1,
+        )
+    else:
+        x = constrain(shortcut + adaptive_layernorm(p["norm1"], x, c), TOKENS_5D_SPEC)
 
-    mimpl = cfg.mlp_impl
-    if mimpl == "auto":
-        mimpl = "fused" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
     if mimpl == "fused" and not on_mesh:
         # Whole MLP branch (fc1 -> GELU -> fc2 -> AdaLN -> +residual) as one Pallas
         # kernel: x touches HBM twice. The FiLM modulation is a tiny GEMM outside.

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mlp_fused", "mlp_adaln_residual_fused"]
+__all__ = ["mlp_fused", "mlp_adaln_residual_fused", "linear_adaln_residual_fused"]
 
 
 def _pick_row_tile(rows: int, max_tile: int = 512) -> int:
@@ -224,4 +224,85 @@ def mlp_adaln_residual_fused(
         ),
         interpret=interpret,
     )(x2, w1, b1, w2, b2, shift, scale)
+    return out.reshape(B, L, D_out)
+
+
+def linear_adaln_residual_fused(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    shortcut: jax.Array,
+    shift: jax.Array,
+    scale: jax.Array,
+    scale_bias: float = 0.0,
+    interpret: bool = False,
+):
+    """``shortcut + AdaLN(x @ w + b)`` — the attention-side block tail as ONE kernel.
+
+    ``x``/``shortcut``: (B, L, D); ``w``: (D, D); ``shift``/``scale``: (B, D). Used
+    for the Swin block's attention projection: the per-token proj GEMM commutes with
+    window-reverse/roll, so the block runs it *after* un-windowing and fuses the
+    whole ``proj -> AdaLN -> +residual`` chain (three HBM passes become one).
+    Numerics: GEMM accumulates f32, the proj output is rounded to the input dtype
+    (as the unfused path materialises it), LN statistics f32 two-pass in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, D_in = x.shape
+    D_out = w.shape[1]
+    assert D_out == D_in
+    rows = B * L
+    x2 = x.reshape(rows, D_in)
+    s2 = shortcut.reshape(rows, D_out)
+
+    # The (D, D) weight lives whole in VMEM (8 MB at D=2048); shrink the row tile
+    # at large D so x/shortcut/out tiles + f32 temporaries still fit.
+    max_r = max(8, min(512, (6 * 1024 * 1024) // (D_in * 10)))
+    R = _pick_row_tile(L, max_tile=max_r)
+    nR = rows // R
+    per_batch = L // R
+
+    w = w.astype(x.dtype)
+    b = b.astype(jnp.float32).reshape(1, D_out)
+    shift = shift.astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
+
+    def kernel(x_ref, w_ref, b_ref, s_ref, sh_ref, sc_ref, out_ref):
+        y = (
+            jax.lax.dot_general(
+                x_ref[...], w_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref[...]
+        ).astype(x_ref.dtype)  # round like the unfused path
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
+        out_ref[...] = (s_ref[...].astype(jnp.float32) + mod).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nR,),
+        in_specs=[
+            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * D_in * D_out,
+            bytes_accessed=(2 * rows * D_in + D_in * D_out + rows * D_out)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w, b, s2, shift, scale)
     return out.reshape(B, L, D_out)

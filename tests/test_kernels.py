@@ -152,3 +152,39 @@ def test_mlp_adaln_residual_fused_matches_xla(dtype):
     b = np.asarray(got, np.float64)
     tol = 1e-5 if dtype == "float32" else 0.03
     assert np.abs(a - b).max() < tol, np.abs(a - b).max()
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_linear_adaln_residual_fused_matches_xla(dtype):
+    """The fused attention-tail kernel (proj -> AdaLN -> +residual) == unfused."""
+    from aurora_tpu.model.nn import adaptive_layernorm, linear
+    from aurora_tpu.ops.mlp import linear_adaln_residual_fused
+
+    dt = jnp.dtype(dtype)
+    B, L, D = 2, 64, 128
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (B, L, D), dt)
+    shortcut = jax.random.normal(ks[1], (B, L, D), dt)
+    w = jax.random.normal(ks[2], (D, D), jnp.float32) * 0.05
+    b = jax.random.normal(ks[3], (D,), jnp.float32) * 0.05
+    c = jax.random.normal(ks[4], (B, D), dt)
+    mod_p = {
+        "modulation": {
+            "weight": jax.random.normal(jax.random.PRNGKey(8), (D, 2 * D), jnp.float32) * 0.02,
+            "bias": jnp.zeros((2 * D,), jnp.float32),
+        }
+    }
+
+    proj = {"weight": w, "bias": b}
+    want = shortcut + adaptive_layernorm(mod_p, linear(proj, x), c)
+
+    from aurora_tpu.model.nn import linear as _lin
+
+    mod = _lin(mod_p["modulation"], jax.nn.silu(c))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    got = linear_adaln_residual_fused(x, w, b, shortcut, shift, scale, interpret=True)
+
+    a = np.asarray(want, np.float64)
+    bb = np.asarray(got, np.float64)
+    tol = 1e-5 if dtype == "float32" else 0.03
+    assert np.abs(a - bb).max() < tol, np.abs(a - bb).max()

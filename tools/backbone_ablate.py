@@ -127,6 +127,73 @@ def main():
         finally:
             swin3d.jnp.roll = orig_roll
 
+    ITERS = 16  # in-jit repetitions: amortises the ~30 ms tunnel round-trip
+
+    def timed_loop(f, x_init, label, per_iter_work, unit="ms"):
+        """Time jit(fori_loop(ITERS, f)) and report per-iteration cost."""
+        g = jax.jit(
+            lambda xx: jax.lax.fori_loop(0, ITERS, lambda _, acc: f(acc), xx)
+        )
+        out = g(x_init)
+        float(out[(0,) * out.ndim])
+        times = []
+        for i in range(args.steps):
+            t0 = time.time()
+            out = g(x_init + jnp.bfloat16((i + 1) * 1e-8))
+            float(out[(0,) * out.ndim])
+            times.append(time.time() - t0)
+        t = (min(times)) / ITERS
+        if unit == "ms":
+            print(f"{label}: {t*1e3:6.2f} ms/iter", flush=True)
+        else:  # TF/s
+            print(
+                f"{label}: {t*1e3:6.2f} ms = {per_iter_work/t/1e12:6.1f} TF/s "
+                f"({per_iter_work/t/1e12/197*100:4.1f}% MXU)",
+                flush=True,
+            )
+        return t
+
+    if "gemms" in variants:
+        # Pure dot rates at the block GEMM shapes (stage 0; stages 1/2 have the same
+        # FLOPs at half/quarter M and 2x/4x D). M = B*L.
+        M = L
+        for name, K, Nn in (
+            ("qkv", D, 3 * D),
+            ("proj", D, D),
+            ("fc1", D, 4 * D),
+            ("fc2", 4 * D, D),
+        ):
+            w = jax.random.normal(jax.random.PRNGKey(3), (K, Nn), jnp.bfloat16)
+            a0 = jax.random.normal(jax.random.PRNGKey(2), (M, K), jnp.bfloat16)
+
+            if Nn >= K:
+                def step(a, w=w, K=K):
+                    y = a @ w
+                    return y[:, :K] * jnp.bfloat16(0.999)
+            else:
+                def step(a, w=w, K=K, Nn=Nn):
+                    y = a @ w
+                    reps = K // Nn
+                    return jnp.concatenate([y] * reps, axis=1) * jnp.bfloat16(0.999)
+
+            timed_loop(step, a0, f"gemm {name} ({M}x{K}x{Nn})", 2 * M * K * Nn, unit="tf")
+
+    if "layout" in variants:
+        ws = bb.window_size
+        x5 = jax.random.normal(jax.random.PRNGKey(4), (1, *patch_res, D), jnp.bfloat16)
+
+        def part_rev(xx):
+            wdw = swin3d.window_partition(xx, ws)
+            return swin3d.window_reverse(wdw, ws, *patch_res) * jnp.bfloat16(0.999)
+
+        timed_loop(part_rev, x5, "partition+reverse roundtrip", 0)
+
+        def rolls(xx):
+            y = jnp.roll(xx, shift=(-1, -3, -6), axis=(1, 2, 3))
+            return jnp.roll(y, shift=(1, 3, 6), axis=(1, 2, 3)) * jnp.bfloat16(0.999)
+
+        timed_loop(rolls, x5, "roll roundtrip", 0)
+
     if "no_attn" in variants:
         orig_wa = swin3d.window_attention_apply
 
