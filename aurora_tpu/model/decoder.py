@@ -13,7 +13,10 @@ import jax.numpy as jnp
 
 from aurora_tpu.model.config import AuroraConfig
 from aurora_tpu.model.nn import linear, linear_init
-from aurora_tpu.model.perceiver import perceiver_resampler_apply, perceiver_resampler_init
+from aurora_tpu.model.perceiver import (
+    perceiver_resampler_init,
+    resampler_shared_query_apply,
+)
 from aurora_tpu.normalisation import level_to_str
 
 __all__ = ["decoder_init", "decoder_apply", "unpatchify"]
@@ -121,72 +124,20 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
 
     The queries (pressure-level embeddings, reference aurora/model/decoder.py:140-166)
     are *identical for every token column*, which the reference's per-column Perceiver
-    call cannot exploit. Here layer 0 is specialised: its query projection (and q-LN)
-    runs once on ``(C_A, D)``; the per-column work is then three flat GEMMs
-    (kv: ``M*C' x D x 2D``, out: ``M*C_A x D x D``, MLP: ``M*C_A x D x 2D x D``) plus a
-    tiny batched softmax — the layout XLA maps straight onto the MXU. This removes the
+    call cannot exploit; see :func:`resampler_shared_query_apply`. This removes the
     per-column ``to_q`` GEMM (~1.8 TF at 0.25 deg) and the broadcast of the query
-    tensor (~3.4 GB of HBM traffic). Deeper layers (``dec_depth > 1``) have
-    column-dependent latents and fall back to the generic resampler layer.
+    tensor (~3.4 GB of HBM traffic).
     """
-    from aurora_tpu.model.nn import layernorm, mlp
-    from aurora_tpu.model.perceiver import _attention_apply
-
     B, L, Cp, D = x.shape
-    C_A = level_embed.shape[0]
-    nh = cfg.num_heads
-    eps = cfg.perceiver_ln_eps
-    layers = p_dec["layers"]
-    l0 = layers[0]
-
-    # Hoisted layer-0 query path: to_q (+ optional stabilising LN) once.
-    q0 = linear(l0["attn"]["to_q"], level_embed)  # (C_A, inner)
-    if "ln_q" in l0["attn"]:
-        q0 = layernorm(l0["attn"]["ln_q"], q0)
-    inner = q0.shape[-1]
-    dh = inner // nh
-    scale = 1.0 / (dh**0.5)
-    qh = q0.reshape(C_A, nh, dh)
-
-    def columns(ctx):  # (M, C', D) -> (M, C_A, D)
-        kv = linear(l0["attn"]["to_kv"], ctx)
-        k, v = jnp.split(kv, 2, axis=-1)
-        if "ln_k" in l0["attn"]:
-            k = layernorm(l0["attn"]["ln_k"], k)
-        k = k.reshape(*k.shape[:-1], nh, dh)
-        v = v.reshape(*v.shape[:-1], nh, dh)
-        logits = jnp.einsum("qhd,mkhd->mhqk", qh.astype(k.dtype), k)
-        compute_dtype = jnp.float32 if logits.dtype == jnp.bfloat16 else logits.dtype
-        logits = logits.astype(compute_dtype) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum("mhqk,mkhd->mqhd", w, v).reshape(-1, C_A, inner)
-        attn = linear(l0["attn"]["to_out"], o)
-        lat = layernorm(l0["ln1"], attn, eps=eps) + level_embed[None].astype(attn.dtype)
-        lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=eps) + lat
-        for layer in layers[1:]:
-            attn_out = layernorm(
-                layer["ln1"], _attention_apply(layer["attn"], lat, ctx, nh), eps=eps
-            )
-            lat = attn_out + lat
-            lat = layernorm(layer["ln2"], mlp(layer["mlp"], lat), eps=eps) + lat
-        return lat
-
-    M = B * L
-    ctx = x.reshape(M, Cp, D)
-    chunk = cfg.agg_chunk_size
-    if chunk is not None and M > chunk:
-        # Explicit chunk blocking (not lax.map's batch_size, which vmaps a
-        # per-element function): each scan step runs `columns` on one
-        # (chunk, C', D) block, so the GEMMs keep their large flat-M shape while
-        # peak memory stays at one block's intermediates.
-        pad = (-M) % chunk
-        if pad:
-            ctx = jnp.pad(ctx, ((0, pad), (0, 0), (0, 0)))
-        out = jax.lax.map(columns, ctx.reshape(-1, chunk, Cp, D))
-        out = out.reshape(-1, C_A, out.shape[-1])[:M]
-    else:
-        out = columns(ctx)
-    return out.reshape(B, L, C_A, D)
+    out = resampler_shared_query_apply(
+        p_dec,
+        level_embed,
+        x.reshape(B * L, Cp, D),
+        cfg.num_heads,
+        ln_eps=cfg.perceiver_ln_eps,
+        chunk_size=cfg.agg_chunk_size,
+    )
+    return out.reshape(B, L, *out.shape[1:])
 
 
 def decoder_apply(

@@ -23,7 +23,10 @@ from aurora_tpu.model.nn import (
     trunc_normal_init,
 )
 from aurora_tpu.model.patchembed import level_patch_embed_apply, level_patch_embed_init
-from aurora_tpu.model.perceiver import perceiver_resampler_apply, perceiver_resampler_init
+from aurora_tpu.model.perceiver import (
+    perceiver_resampler_init,
+    resampler_shared_query_apply,
+)
 from aurora_tpu.normalisation import level_to_str
 
 __all__ = ["encoder_init", "encoder_apply", "EncoderEncodings"]
@@ -114,29 +117,23 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     """Aggregate physical levels to latent levels: ``(B, C_A, L, D) -> (B, C_l, L, D)``.
 
     Cross-attention runs independently per token column (reference:
-    aurora/model/encoder.py:173-196).
+    aurora/model/encoder.py:173-196); the learned latent queries are identical for
+    every column, so layer 0's query path is hoisted out of the per-column batch
+    (see :func:`resampler_shared_query_apply`). ``agg_chunk_size`` bounds peak HBM:
+    the (B·L, C_A, D) kv tensors at 0.25° would otherwise dominate memory.
     """
     B, C_A, L, D = x.shape
     latents = p["atmos_latents"].astype(x.dtype)  # (C_l, D)
     C_l = latents.shape[0]
     ctx = x.transpose(0, 2, 1, 3).reshape(B * L, C_A, D)
-
-    if cfg.agg_chunk_size is not None and B * L > cfg.agg_chunk_size:
-        # Chunk over token columns to bound peak HBM: the (B·L, C_A, D) q/k/v tensors
-        # at 0.25° would otherwise dominate memory. Columns are independent, so the
-        # result is bit-identical to the single-shot path.
-        out = jax.lax.map(
-            lambda c: perceiver_resampler_apply(
-                p["level_agg"], latents, c, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
-            ),
-            ctx,
-            batch_size=cfg.agg_chunk_size,
-        )
-    else:
-        lat_b = jnp.broadcast_to(latents[None], (B * L, C_l, D))
-        out = perceiver_resampler_apply(
-            p["level_agg"], lat_b, ctx, cfg.num_heads, ln_eps=cfg.perceiver_ln_eps
-        )
+    out = resampler_shared_query_apply(
+        p["level_agg"],
+        latents,
+        ctx,
+        cfg.num_heads,
+        ln_eps=cfg.perceiver_ln_eps,
+        chunk_size=cfg.agg_chunk_size,
+    )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3)
 
 

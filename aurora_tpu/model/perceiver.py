@@ -23,7 +23,7 @@ from aurora_tpu.model.nn import (
     split_heads,
 )
 
-__all__ = ["perceiver_resampler_init", "perceiver_resampler_apply"]
+__all__ = ["perceiver_resampler_init", "perceiver_resampler_apply", "resampler_shared_query_apply"]
 
 
 def _attention_init(key, latent_dim, context_dim, head_dim, num_heads, ln_k_q, dtype):
@@ -99,3 +99,69 @@ def perceiver_resampler_apply(
         latents = attn_out + latents if residual_latent else attn_out
         latents = layernorm(layer["ln2"], mlp(layer["mlp"], latents), eps=ln_eps) + latents
     return latents
+
+
+def resampler_shared_query_apply(
+    p,
+    queries: jax.Array,
+    ctx: jax.Array,
+    num_heads: int,
+    ln_eps: float = 1e-5,
+    chunk_size=None,
+) -> jax.Array:
+    """Resampler specialised for queries that are IDENTICAL for every context row.
+
+    ``queries``: (Q, D); ``ctx``: (M, K, D) -> (M, Q, D). Both the encoder's level
+    aggregation (learned latents) and the decoder's de-aggregation (pressure-level
+    embeddings) have this property, which the reference's per-column Perceiver calls
+    cannot exploit (reference encoder.py:173-196 / decoder.py:140-166). Layer 0's
+    query projection (+ optional stabilising LN) runs once on (Q, D); the per-row
+    work reduces to three large flat GEMMs (kv / out / MLP) plus a tiny batched
+    softmax. Deeper layers have row-dependent latents and run generically.
+
+    ``chunk_size`` bounds peak memory by lax.map-ing over (chunk, K, D) blocks —
+    bit-identical to the single-shot path (rows are independent).
+    """
+    M, K, D = ctx.shape
+    Q = queries.shape[0]
+    layers = p["layers"]
+    l0 = layers[0]
+
+    q0 = linear(l0["attn"]["to_q"], queries)  # (Q, inner)
+    if "ln_q" in l0["attn"]:
+        q0 = layernorm(l0["attn"]["ln_q"], q0)
+    inner = q0.shape[-1]
+    dh = inner // num_heads
+    scale = 1.0 / (dh**0.5)
+    qh = q0.reshape(Q, num_heads, dh)
+
+    def columns(c):  # (m, K, D) -> (m, Q, D)
+        kv = linear(l0["attn"]["to_kv"], c)
+        k, v = jnp.split(kv, 2, axis=-1)
+        if "ln_k" in l0["attn"]:
+            k = layernorm(l0["attn"]["ln_k"], k)
+        k = k.reshape(*k.shape[:-1], num_heads, dh)
+        v = v.reshape(*v.shape[:-1], num_heads, dh)
+        logits = jnp.einsum("qhd,mkhd->mhqk", qh.astype(k.dtype), k)
+        compute_dtype = jnp.float32 if logits.dtype == jnp.bfloat16 else logits.dtype
+        logits = logits.astype(compute_dtype) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("mhqk,mkhd->mqhd", w, v).reshape(-1, Q, inner)
+        attn = linear(l0["attn"]["to_out"], o)
+        lat = layernorm(l0["ln1"], attn, eps=ln_eps) + queries[None].astype(attn.dtype)
+        lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=ln_eps) + lat
+        for layer in layers[1:]:
+            attn_out = layernorm(
+                layer["ln1"], _attention_apply(layer["attn"], lat, c, num_heads), eps=ln_eps
+            )
+            lat = attn_out + lat
+            lat = layernorm(layer["ln2"], mlp(layer["mlp"], lat), eps=ln_eps) + lat
+        return lat
+
+    if chunk_size is not None and M > chunk_size:
+        pad = (-M) % chunk_size
+        if pad:
+            ctx = jnp.pad(ctx, ((0, pad), (0, 0), (0, 0)))
+        out = jax.lax.map(columns, ctx.reshape(-1, chunk_size, K, D))
+        return out.reshape(-1, Q, out.shape[-1])[:M]
+    return columns(ctx)

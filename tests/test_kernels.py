@@ -188,3 +188,39 @@ def test_linear_adaln_residual_fused_matches_xla(dtype):
     bb = np.asarray(got, np.float64)
     tol = 1e-5 if dtype == "float32" else 0.03
     assert np.abs(a - bb).max() < tol, np.abs(a - bb).max()
+
+
+@pytest.mark.parametrize("ln_k_q", [False, True])
+@pytest.mark.parametrize("depth", [1, 2])
+def test_shared_query_resampler_matches_generic(ln_k_q, depth):
+    """The hoisted shared-query resampler must equal the generic per-row path.
+
+    Covers both production users: encoder level aggregation (learned latents,
+    optional ln_k_q) and decoder de-aggregation (level embeddings, depth 1),
+    chunked and single-shot.
+    """
+    from aurora_tpu.model.perceiver import (
+        perceiver_resampler_apply,
+        perceiver_resampler_init,
+        resampler_shared_query_apply,
+    )
+
+    D, nh, Q, K, M = 64, 4, 5, 9, 23
+    kp, kq, kc = jax.random.split(jax.random.PRNGKey(0), 3)
+    p = perceiver_resampler_init(
+        kp, latent_dim=D, context_dim=D, depth=depth, head_dim=D // nh,
+        num_heads=nh, mlp_ratio=2.0, ln_k_q=ln_k_q, dtype=jnp.float32,
+    )
+    queries = jax.random.normal(kq, (Q, D), jnp.float32)
+    ctx = jax.random.normal(kc, (M, K, D), jnp.float32)
+
+    want = perceiver_resampler_apply(
+        p, jnp.broadcast_to(queries[None], (M, Q, D)), ctx, nh
+    )
+    got = resampler_shared_query_apply(p, queries, ctx, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    got_chunked = resampler_shared_query_apply(p, queries, ctx, nh, chunk_size=8)
+    np.testing.assert_allclose(
+        np.asarray(got_chunked), np.asarray(got), atol=1e-7
+    )

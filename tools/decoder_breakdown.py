@@ -85,9 +85,9 @@ def main():
 
     # --- stage isolation (same chunking)
     ctx_fl = ctx.reshape(L, Cp, D)
-    blocks = ctx_fl.reshape(-1, chunk, Cp, D)  # L % chunk handled: 64800 = 7*8192+7456
-    nblk = L // chunk  # truncate for simplicity — same per-chunk cost
-    blocks = blocks[:nblk] if blocks.shape[0] > nblk else blocks
+    pad = (-L) % chunk
+    ctx_fl = jnp.pad(ctx_fl, ((0, pad), (0, 0), (0, 0)))
+    blocks = ctx_fl.reshape(-1, chunk, Cp, D)  # 8 chunks, like production
 
     def kv_stage(bb, eps):
         def one(cb):
