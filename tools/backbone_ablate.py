@@ -194,6 +194,58 @@ def main():
 
         timed_loop(rolls, x5, "roll roundtrip", 0)
 
+    if "kernels" in variants:
+        # The two fused block-tail kernels + the qkv GEMM at each stage's shape,
+        # vs their analytic floors (197 TF/s MXU, ~819 GB/s HBM on v5e).
+        from aurora_tpu.ops.mlp import linear_adaln_residual_fused, mlp_adaln_residual_fused
+
+        PEAK_TF, PEAK_BW = 197e12, 819e9
+
+        for stage, (Ds, Ls) in enumerate(
+            [(D, L), (2 * D, L // 4), (4 * D, L // 16)]
+        ):
+            Hs = 4 * Ds
+            key_s = jax.random.PRNGKey(10 + stage)
+            xs = jax.random.normal(key_s, (1, Ls, Ds), jnp.bfloat16)
+            w1 = jax.random.normal(key_s, (Ds, Hs), jnp.float32) * 0.02
+            b1 = jnp.zeros((Hs,), jnp.float32)
+            w2 = jax.random.normal(key_s, (Hs, Ds), jnp.float32) * 0.02
+            b2 = jnp.zeros((Ds,), jnp.float32)
+            wp = jax.random.normal(key_s, (Ds, Ds), jnp.float32) * 0.02
+            bp = jnp.zeros((Ds,), jnp.float32)
+            sh = jnp.zeros((1, Ds), jnp.float32)
+            sc = jnp.ones((1, Ds), jnp.float32) * 0.1
+
+            def mlp_step(a, w1=w1, b1=b1, w2=w2, b2=b2, sh=sh, sc=sc):
+                return mlp_adaln_residual_fused(a, w1, b1, w2, b2, sh, sc)
+
+            fl = 4 * Ls * Ds * Hs
+            by = (2 * Ls * Ds + 2 * Ds * Hs) * 2
+            floor = max(fl / PEAK_TF, by / PEAK_BW)
+            t = timed_loop(mlp_step, xs, f"s{stage} mlp_fused (L={Ls},D={Ds})", fl, unit="tf")
+            print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
+
+            def proj_step(a, wp=wp, bp=bp, sh=sh, sc=sc):
+                return linear_adaln_residual_fused(a, wp, bp, a, sh, sc)
+
+            fl = 2 * Ls * Ds * Ds
+            by = (3 * Ls * Ds + Ds * Ds) * 2
+            floor = max(fl / PEAK_TF, by / PEAK_BW)
+            t = timed_loop(proj_step, xs, f"s{stage} proj_fused (L={Ls},D={Ds})", fl, unit="tf")
+            print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
+
+            wq = jax.random.normal(key_s, (Ds, 3 * Ds), jnp.bfloat16) * 0.02
+
+            def qkv_step(a, wq=wq, Ds=Ds):
+                y = a @ wq
+                return y[..., :Ds] * jnp.bfloat16(0.999)
+
+            fl = 2 * Ls * Ds * 3 * Ds
+            by = (4 * Ls * Ds + 3 * Ds * Ds) * 2
+            floor = max(fl / PEAK_TF, by / PEAK_BW)
+            t = timed_loop(qkv_step, xs, f"s{stage} qkv xla (L={Ls},D={Ds})", fl, unit="tf")
+            print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
+
     if "no_attn" in variants:
         orig_wa = swin3d.window_attention_apply
 
