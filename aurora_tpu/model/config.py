@@ -60,6 +60,12 @@ class AuroraConfig:
     # Process the per-token-column level (de)aggregation in chunks of this many token
     # columns to bound peak HBM (None = single shot). Math is chunk-size invariant.
     agg_chunk_size: Optional[int] = None
+    # Run the decoder's level de-aggregation cross-attention in bfloat16 (production
+    # throughput mode; measured mean rel err ~1e-3 on the de-agg output, the same
+    # order as the backbone-autocast rounding already present on its input). The
+    # reference's decoder stays f32 even under autocast (aurora.py:327-343), so this
+    # is off by default and off in all parity configurations.
+    deagg_bf16: bool = False
     surf_stats: tuple[tuple[str, tuple[float, float]], ...] = ()
     density_channel_surf_vars: tuple[str, ...] = ()
     angle_surf_vars: tuple[str, ...] = ()

@@ -129,6 +129,13 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
     tensor (~3.4 GB of HBM traffic).
     """
     B, L, Cp, D = x.shape
+    dtype = x.dtype
+    if cfg.deagg_bf16 and dtype == jnp.float32:
+        # Production throughput mode (see AuroraConfig.deagg_bf16): the de-agg input
+        # already carries backbone-autocast bf16 rounding, so running the cross-
+        # attention itself in bf16 adds error of the same order (~1e-3 rel).
+        x = x.astype(jnp.bfloat16)
+        level_embed = level_embed.astype(jnp.bfloat16)
     out = resampler_shared_query_apply(
         p_dec,
         level_embed,
@@ -137,7 +144,7 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
     )
-    return out.reshape(B, L, *out.shape[1:])
+    return out.reshape(B, L, *out.shape[1:]).astype(dtype)
 
 
 def decoder_apply(
