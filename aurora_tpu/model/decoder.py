@@ -127,8 +127,13 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
     call cannot exploit; see :func:`resampler_shared_query_apply`. This removes the
     per-column ``to_q`` GEMM (~1.8 TF at 0.25 deg) and the broadcast of the query
     tensor (~3.4 GB of HBM traffic).
+
+    ``x`` arrives LEVEL-major — ``(B, C', L, D)``, the backbone's natural (C, H·W)
+    token order — and is consumed in that layout (``k_major``): transposing to
+    (L, C') with tiny C' runs at ~5% of copy bandwidth on TPU (measured 37 ms at
+    0.25°, tools/decoder_breakdown.py). Output is token-major ``(B, L, C_A, D)``.
     """
-    B, L, Cp, D = x.shape
+    B, Cp, L, D = x.shape
     dtype = x.dtype
     if cfg.deagg_bf16 and dtype == jnp.float32:
         # Production throughput mode (see AuroraConfig.deagg_bf16): the de-agg input
@@ -136,13 +141,15 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         # attention itself in bf16 adds error of the same order (~1e-3 rel).
         x = x.astype(jnp.bfloat16)
         level_embed = level_embed.astype(jnp.bfloat16)
+    ctx = x.reshape(Cp, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(Cp, B * L, D)
     out = resampler_shared_query_apply(
         p_dec,
         level_embed,
-        x.reshape(B * L, Cp, D),
+        ctx,
         cfg.num_heads,
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
+        k_major=True,
     )
     return out.reshape(B, L, *out.shape[1:]).astype(dtype)
 
@@ -178,22 +185,23 @@ def decoder_apply(
     P = cfg.patch_size
     dtype = x.dtype
 
-    # (B, (C H W), D) -> (B, H*W, C, D).
-    x = x.reshape(B, C_l, Hp * Wp, D).transpose(0, 2, 1, 3)
+    # (B, (C H W), D) -> (B, C, H*W, D): free — no (L, C) transpose; the de-agg
+    # consumes the level-major layout directly (see _deaggregate).
+    x = x.reshape(B, C_l, Hp * Wp, D)
 
     # Surface heads on the surface latent level: one fused (D, P²·V) GEMM instead of V
     # separate N=P² GEMMs (N=16 uses 1/8 of the 128-lane MXU tile). The weights are
     # stacked in (p², v) order — exactly the flattened layout unpatchify expects.
-    x_surf = linear(_stack_heads(p["surf_heads"], surf_vars), x[..., :1, :])
+    x_surf = linear(_stack_heads(p["surf_heads"], surf_vars), x[:, 0][:, :, None])
     # (B, L, 1, P²*V) in (p², v) order
     surf_preds_arr = unpatchify(x_surf, len(surf_vars), H, W, P)[:, :, 0]  # (B, V, H, W)
 
     # De-aggregate latent levels into physical pressure levels.
     levels_embed = linear(p["atmos_levels_embed"], levels_encode.astype(dtype))  # (C_A, D)
-    x_atmos = _deaggregate(p["level_decoder"], levels_embed, x[..., 1:, :], cfg)
+    x_atmos = _deaggregate(p["level_decoder"], levels_embed, x[:, 1:], cfg)
     if separate:
         x_atmos_alt = _deaggregate(
-            p["level_decoder_alternate"], levels_embed, x[..., 1:, :], cfg
+            p["level_decoder_alternate"], levels_embed, x[:, 1:], cfg
         )
     else:
         x_atmos_alt = x_atmos

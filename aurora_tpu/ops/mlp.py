@@ -25,6 +25,18 @@ def _pick_row_tile(rows: int, max_tile: int = 512) -> int:
     return rows
 
 
+# Per-step grid overhead (DMA issue + semaphores, ~5 us on v5e) dominates these
+# memory-bound kernels when row tiles are small; tiles are sized to keep the grid
+# in the low hundreds of steps while the working set stays inside ~16 MB VMEM
+# (including the pipeline's double buffers). Swept on hardware:
+# tools/backbone_ablate.py --variants kernel_tiles.
+
+
+def _mlp_row_budget(d_in: int, hidden: int, itemsize: int) -> int:
+    # Placeholder pending the hardware tile sweep; 512 = round-1 behaviour.
+    return 512
+
+
 def _pick_hidden_tile(hidden: int, d_in: int, itemsize: int) -> int:
     # Keep the two weight blocks a few MB so double-buffering fits VMEM.
     budget = 3 * 1024 * 1024
@@ -133,6 +145,8 @@ def mlp_adaln_residual_fused(
     scale: jax.Array,
     scale_bias: float = 0.0,
     interpret: bool = False,
+    row_tile: int | None = None,
+    hidden_tile: int | None = None,
 ):
     """``x + AdaLN(mlp(x))`` — the whole Swin-block MLP branch as ONE kernel.
 
@@ -159,8 +173,9 @@ def mlp_adaln_residual_fused(
 
     # Row tiles must stay inside one batch element so each tile has ONE modulation
     # row; L is a multiple of 8 for every real grid (H/P * W/P * C).
-    R = _pick_row_tile(L)
-    HC = _pick_hidden_tile(H, D_in, x2.dtype.itemsize)
+    R = row_tile or _pick_row_tile(L, max_tile=_mlp_row_budget(D_in, H, x2.dtype.itemsize))
+    HC = hidden_tile or _pick_hidden_tile(H, D_in, x2.dtype.itemsize)
+    assert L % R == 0 and H % HC == 0, (L, R, H, HC)
     nR, nH = rows // R, H // HC
 
     w1 = w1.astype(x.dtype)
@@ -236,6 +251,7 @@ def linear_adaln_residual_fused(
     scale: jax.Array,
     scale_bias: float = 0.0,
     interpret: bool = False,
+    row_tile: int | None = None,
 ):
     """``shortcut + AdaLN(x @ w + b)`` — the attention-side block tail as ONE kernel.
 
@@ -259,7 +275,8 @@ def linear_adaln_residual_fused(
     # The (D, D) weight lives whole in VMEM (8 MB at D=2048); shrink the row tile
     # at large D so x/shortcut/out tiles + f32 temporaries still fit.
     max_r = max(8, min(512, (6 * 1024 * 1024) // (D_in * 10)))
-    R = _pick_row_tile(L, max_tile=max_r)
+    R = row_tile or _pick_row_tile(L, max_tile=max_r)
+    assert L % R == 0, (L, R)
     nR = rows // R
     per_batch = L // R
 

@@ -246,6 +246,62 @@ def main():
             t = timed_loop(qkv_step, xs, f"s{stage} qkv xla (L={Ls},D={Ds})", fl, unit="tf")
             print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
 
+    if "kernel_tiles" in variants:
+        # Tile-size sweep for the two fused block-tail kernels, per stage shape.
+        from aurora_tpu.ops.mlp import linear_adaln_residual_fused, mlp_adaln_residual_fused
+
+        for stage, (Ds, Ls) in enumerate([(D, L), (2 * D, L // 4), (4 * D, L // 16)]):
+            Hs = 4 * Ds
+            key_s = jax.random.PRNGKey(10 + stage)
+            xs = jax.random.normal(key_s, (1, Ls, Ds), jnp.bfloat16)
+            w1 = jax.random.normal(key_s, (Ds, Hs), jnp.float32) * 0.02
+            b1 = jnp.zeros((Hs,), jnp.float32)
+            w2 = jax.random.normal(key_s, (Hs, Ds), jnp.float32) * 0.02
+            b2 = jnp.zeros((Ds,), jnp.float32)
+            wp = jax.random.normal(key_s, (Ds, Ds), jnp.float32) * 0.02
+            bp = jnp.zeros((Ds,), jnp.float32)
+            sh = jnp.zeros((1, Ds), jnp.float32)
+            sc = jnp.ones((1, Ds), jnp.float32) * 0.1
+
+            fl_p = 2 * Ls * Ds * Ds
+            for rt in (None, 960, 1800, 3240, 5400):
+                if rt is not None and (Ls % rt or rt * Ds * 2 * 10 > 14 * 2**20):
+                    continue
+
+                def proj_step(a, wp=wp, bp=bp, sh=sh, sc=sc, rt=rt):
+                    return linear_adaln_residual_fused(a, wp, bp, a, sh, sc, row_tile=rt)
+
+                try:
+                    timed_loop(proj_step, xs, f"s{stage} proj rt={rt}", fl_p, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} proj rt={rt}: FAIL {type(e).__name__}", flush=True)
+
+            fl_m = 4 * Ls * Ds * Hs
+            for rt, ht in ((None, None), (960, None), (1800, None), (480, Hs),
+                           (960, Hs), (1800, Hs), (960, 2048), (1800, 2048)):
+                if rt is not None and Ls % rt:
+                    continue
+                if ht is not None and (ht > Hs or Hs % ht):
+                    continue
+                # Rough VMEM guard: weights + x/out/acc/hidden tiles.
+                rt_eff, ht_eff = rt or 480, ht or 1024
+                vmem = (2 * Ds * ht_eff * 2 * 2          # w1/w2 tiles double-buffered
+                        + rt_eff * Ds * 2 * 4            # x/out tiles (+db)
+                        + rt_eff * Ds * 4                # f32 acc
+                        + rt_eff * ht_eff * 4)           # hidden f32
+                if vmem > 15 * 2**20:
+                    continue
+
+                def mlp_step(a, w1=w1, b1=b1, w2=w2, b2=b2, sh=sh, sc=sc, rt=rt, ht=ht):
+                    return mlp_adaln_residual_fused(
+                        a, w1, b1, w2, b2, sh, sc, row_tile=rt, hidden_tile=ht
+                    )
+
+                try:
+                    timed_loop(mlp_step, xs, f"s{stage} mlp rt={rt} ht={ht}", fl_m, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} mlp rt={rt} ht={ht}: FAIL {type(e).__name__}", flush=True)
+
     if "no_attn" in variants:
         orig_wa = swin3d.window_attention_apply
 
