@@ -125,7 +125,10 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     B, C_A, L, D = x.shape
     latents = p["atmos_latents"].astype(x.dtype)  # (C_l, D)
     C_l = latents.shape[0]
-    ctx = x.transpose(0, 2, 1, 3).reshape(B * L, C_A, D)
+    # Keep the level axis major: transposing (C_A, L) with tiny C_A runs far below
+    # copy bandwidth on TPU (sublane-padded — same finding as the decoder's de-agg,
+    # tools/decoder_breakdown.py); the resampler reads level-major directly.
+    ctx = x.reshape(C_A, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(C_A, B * L, D)
     out = resampler_shared_query_apply(
         p["level_agg"],
         latents,
@@ -133,6 +136,7 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
         cfg.num_heads,
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
+        k_major=True,
     )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3)
 

@@ -199,6 +199,24 @@ def window_attention_apply(
             )
         return out
 
+    impl = cfg.attention_impl
+    if impl == "auto":
+        impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+
+    if impl == "pallas" and "lora_qkv" not in p:
+        # QKV projection fused into the attention kernel: the (M, 3D) qkv tensor
+        # never touches HBM (see _attn_windows_qkv_fused_pallas).
+        out = _attn_windows_qkv_fused_pallas(
+            x.reshape(B, nW, N, D), p["qkv"]["weight"], p["qkv"]["bias"],
+            num_heads, groups,
+        ).reshape(B, C1, H1, W1, N, D)
+        if not project:
+            return out
+        out2 = out.reshape(B * nW * N, D)
+        return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(
+            B, C1, H1, W1, N, D
+        )
+
     if on_mesh:
         qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, C1, H1, W1, N, 3D)
     else:
@@ -207,9 +225,6 @@ def window_attention_apply(
             B, C1, H1, W1, N, 3 * D
         )
 
-    impl = cfg.attention_impl
-    if impl == "auto":
-        impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
     if impl == "pallas":
         # Consumes the packed (qkv, head, dh) layout directly: no head transposes.
         out = _sdpa_windows_fused_pallas(
@@ -318,6 +333,109 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = Fal
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nW * h * N * N * dh,
             bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3,
+            transcendentals=B * nW * h * N * N,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _attn_windows_qkv_fused_pallas(
+    xw, wqkv, bqkv, num_heads, groups, interpret: bool = False
+):
+    """Window attention with the QKV projection fused in:
+    ``(B, nW, N, D) -> (B, nW, N, D)``.
+
+    Relative to ``linear(qkv) -> _sdpa_windows_fused_pallas``, the ``(M, 3D)``
+    QKV tensor never exists in HBM — its write + read-back (~1.6 GB per stage-0
+    block at 0.25°, 2x the attention core's whole traffic) disappear, and the
+    projection itself runs as an N=3D-wide GEMM on rows already resident in
+    VMEM (narrow-N GEMMs are the v5e MXU's weak spot — tools/gemm_probe.py).
+    The weight block uses a constant index map, so Mosaic fetches it once for
+    the entire grid. Numerics match ``linear`` exactly: f32-accumulated dot
+    rounded to the input dtype, bias added after rounding.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nW, N, D = xw.shape
+    h = num_heads
+    dh = D // h
+    masked = groups is not None
+    scale = 1.0 / math.sqrt(dh)
+
+    wqkv = wqkv.astype(xw.dtype)
+    bqkv = bqkv.astype(xw.dtype).reshape(1, 3 * D)
+
+    per_window = N * 6 * D * xw.dtype.itemsize + (N * N * 4 if masked else 0)
+    budget = max(1, (4 * 1024 * 1024) // per_window)
+    KW = 1
+    for cand in range(min(nW, budget), 0, -1):
+        if nW % cand == 0:
+            KW = cand
+            break
+
+    def kernel(*args):
+        if masked:
+            b_ref, x_ref, w_ref, bias_ref, out_ref = args
+        else:
+            x_ref, w_ref, bias_ref, out_ref = args
+        xt = x_ref[0].reshape(KW * N, D)
+        qkv = jax.lax.dot_general(
+            xt, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xt.dtype) + bias_ref[...]
+        x = qkv.reshape(KW, N, 3 * D)
+        outs = []
+        for hh in range(h):
+            q = x[..., hh * dh : (hh + 1) * dh]
+            k = x[..., D + hh * dh : D + (hh + 1) * dh]
+            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
+            logits = (
+                jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            if masked:
+                logits = logits + b_ref[...]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    w, v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    in_specs = [
+        pl.BlockSpec((1, KW, N, D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, 3 * D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [xw, wqkv, bqkv]
+    if masked:
+        in_specs.insert(
+            0,
+            pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
+        )
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nW // KW),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, KW, N, D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nW, N, D), xw.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nW * N * D * 3 * D + 2 * 2 * B * nW * h * N * N * dh,
+            bytes_accessed=2 * B * nW * N * D * xw.dtype.itemsize
+            + 3 * D * D * xw.dtype.itemsize,
             transcendentals=B * nW * h * N * N,
         ),
         interpret=interpret,

@@ -12,52 +12,86 @@ exact erf form computed in f32.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["mlp_fused", "mlp_adaln_residual_fused", "linear_adaln_residual_fused"]
 
 
-def _pick_row_tile(rows: int, max_tile: int = 512) -> int:
-    for cand in range(min(rows, max_tile), 0, -1):
-        if rows % cand == 0 and cand % 8 == 0:
+# v5e has ~128 MB of VMEM (measured: tools/vmem_probe.py); the round-1 tiles
+# assumed ~16 MB and paid for it: a hidden-chunk grid axis re-streams the MLP
+# weights from HBM on EVERY row tile (nH alternates, so the w1/w2 blocks are
+# always "new"). The fix is weight residency: pass w1/w2 whole with a CONSTANT
+# block index (fetched into VMEM once for the entire grid) and walk the hidden
+# dimension with a fori_loop INSIDE the kernel. The in-kernel loop also bounds
+# Mosaic's compile time, which grows superlinearly with the unrolled vector
+# body (R x hidden-chunk elementwise code): hidden-resident tiles expressed as
+# one grid step pushed the full-backbone XLA compile from ~3 min to ~11 min,
+# while the looped form keeps the body at R x 512. Hardware sweep:
+# tools/backbone_ablate.py --variants kernel_tiles (times are flat in the row
+# tile once weights are resident: 480/960/3600 rows all 11.3 ms at stage 0).
+
+_VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
+_ROW_TILE_CAP = int(os.environ.get("AURORA_ROW_TILE_CAP", "512"))
+_HIDDEN_CHUNK = int(os.environ.get("AURORA_HIDDEN_CHUNK", "2048"))
+
+
+def _largest_row_tile(rows: int, max_tile: int) -> int:
+    """Largest divisor of ``rows`` that is a multiple of 8 and <= max_tile."""
+    for cand in range(min(rows, max_tile) // 8 * 8, 0, -8):
+        if rows % cand == 0:
             return cand
     return rows
 
 
-# Per-step grid overhead (DMA issue + semaphores, ~5 us on v5e) dominates these
-# memory-bound kernels when row tiles are small; tiles are sized to keep the grid
-# in the low hundreds of steps while the working set stays inside ~16 MB VMEM
-# (including the pipeline's double buffers). Swept on hardware:
-# tools/backbone_ablate.py --variants kernel_tiles.
+def _mlp_tiles(L: int, d_in: int, hidden: int, itemsize: int) -> tuple[int, int]:
+    """(row_tile, in-kernel hidden_chunk) for the fused MLP kernels.
 
-
-def _mlp_row_budget(d_in: int, hidden: int, itemsize: int) -> int:
-    # Placeholder pending the hardware tile sweep; 512 = round-1 behaviour.
-    return 512
-
-
-def _pick_hidden_tile(hidden: int, d_in: int, itemsize: int) -> int:
-    # Keep the two weight blocks a few MB so double-buffering fits VMEM.
-    budget = 3 * 1024 * 1024
-    tile = hidden
-    while tile > 128 and 2 * d_in * tile * itemsize > budget:
-        tile //= 2
-    return tile
-
-
-def _erf(x):
-    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7, below bf16 resolution).
-
-    Mosaic cannot lower the erf/erfc primitives inside kernels; this uses only exp.
+    The hidden chunk is as wide as possible (<= 2048): the first dot's output
+    width is the chunk, and narrow-N dots run far below MXU peak on v5e
+    (measured: N=512 at ~55% of N=2048's rate, tools/gemm_probe.py).
     """
-    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    HC = _HIDDEN_CHUNK if hidden % _HIDDEN_CHUNK == 0 else hidden
+    return _largest_row_tile(L, _ROW_TILE_CAP), min(HC, hidden)
+
+
+# Minimax-style Chebyshev fit of erf(z)/z in t = z^2 on [0, 16]; max abs error
+# 2.7e-7 over |z| <= 4 (same order as A&S 7.1.26 at 1.5e-7, both far below bf16
+# resolution of the rounded GELU output). Beyond |z| = 4 the argument clamps and
+# the residual matches erfc(4) ~ 1.5e-8. Chosen over the exp-based A&S form
+# because the VPU cost of the GELU sits on the kernel's critical path (MXU and
+# VPU do not overlap within a Pallas grid step): exp + divide cost ~2.4 ms per
+# stage-0 block vs ~1.2 ms for the pure-FMA Horner chain (hardware probe:
+# tools/backbone_ablate.py --variants gelu).
+_ERF_POLY = (
+    1.12837906061501858e+00,
+    -3.76123277617367191e-01,
+    1.12822749896386909e-01,
+    -2.68367599776681599e-02,
+    5.19380124816405057e-03,
+    -8.35930629979575370e-04,
+    1.12681486911649374e-04,
+    -1.26194745937437183e-05,
+    1.15112599619482938e-06,
+    -8.31871509541636930e-08,
+    4.60180124982483205e-09,
+    -1.86402055594774088e-10,
+    5.17816012846009033e-12,
+    -8.77807642063390849e-14,
+    6.82655307690991893e-16,
+)
+
+
+def _erf(z):
+    """Division/exp-free erf for in-kernel use (Mosaic cannot lower lax.erf)."""
+    z = jnp.clip(z, -4.0, 4.0)
+    t = z * z
+    p = jnp.float32(_ERF_POLY[-1])
+    for c in _ERF_POLY[-2::-1]:
+        p = p * t + jnp.float32(c)
+    return z * p
 
 
 def _gelu_exact(x):
@@ -80,8 +114,7 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
     rows = x.size // D_in
     x2 = x.reshape(rows, D_in)
 
-    R = _pick_row_tile(rows)
-    HC = _pick_hidden_tile(H, D_in, x2.dtype.itemsize)
+    R, HC = _mlp_tiles(rows, D_in, H, x2.dtype.itemsize)
     nR, nH = rows // R, H // HC
 
     w1 = w1.astype(x.dtype)
@@ -89,48 +122,49 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
     b1 = b1.astype(jnp.float32).reshape(1, H)
     b2 = b2.astype(jnp.float32).reshape(1, D_out)
 
-    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, acc_ref):
-        j = pl.program_id(1)
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+        xt = x_ref[...]
 
-        @pl.when(j == 0)
-        def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+        def body(j, acc):
+            w1c = w1_ref[:, pl.dslice(j * HC, HC)]
+            b1c = b1_ref[:, pl.dslice(j * HC, HC)]
+            h = jax.lax.dot_general(
+                xt, w1c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1c
+            h = _gelu_exact(h.astype(xt.dtype).astype(jnp.float32)).astype(xt.dtype)
+            w2c = w2_ref[pl.dslice(j * HC, HC), :]
+            return acc + jax.lax.dot_general(
+                h, w2c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        h = jax.lax.dot_general(
-            x_ref[...], w1_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[...]
-        h = _gelu_exact(h.astype(x_ref.dtype).astype(jnp.float32)).astype(x_ref.dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            h, w2_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc = jax.lax.fori_loop(
+            0, nH, body, jnp.zeros((xt.shape[0], D_out), jnp.float32)
         )
-
-        @pl.when(j == nH - 1)
-        def _():
-            out_ref[...] = (acc_ref[...] + b2_ref[...]).astype(out_ref.dtype)
+        out_ref[...] = (acc + b2_ref[...]).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
-        grid=(nR, nH),
+        grid=(nR,),
         in_specs=[
-            pl.BlockSpec((R, D_in), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_in, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((HC, D_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, D_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R, D_out), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * D_in * H + 2 * rows * H * D_out,
             bytes_accessed=(rows * D_in + D_in * H + H * D_out + rows * D_out)
             * x.dtype.itemsize,
             transcendentals=rows * H,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(x2, w1, b1, w2, b2)
     return out.reshape(*orig_shape[:-1], D_out)
 
@@ -173,8 +207,9 @@ def mlp_adaln_residual_fused(
 
     # Row tiles must stay inside one batch element so each tile has ONE modulation
     # row; L is a multiple of 8 for every real grid (H/P * W/P * C).
-    R = row_tile or _pick_row_tile(L, max_tile=_mlp_row_budget(D_in, H, x2.dtype.itemsize))
-    HC = hidden_tile or _pick_hidden_tile(H, D_in, x2.dtype.itemsize)
+    auto_r, auto_hc = _mlp_tiles(L, D_in, H, x2.dtype.itemsize)
+    R = row_tile or auto_r
+    HC = hidden_tile or auto_hc
     assert L % R == 0 and H % HC == 0, (L, R, H, HC)
     nR, nH = rows // R, H // HC
 
@@ -185,57 +220,60 @@ def mlp_adaln_residual_fused(
     shift = shift.astype(jnp.float32)
     scale = scale.astype(jnp.float32)
 
-    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sh_ref, sc_ref, out_ref, acc_ref):
-        j = pl.program_id(1)
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sh_ref, sc_ref, out_ref):
+        xt = x_ref[...]
 
-        @pl.when(j == 0)
-        def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+        def body(j, acc):
+            w1c = w1_ref[:, pl.dslice(j * HC, HC)]
+            b1c = b1_ref[:, pl.dslice(j * HC, HC)]
+            h = jax.lax.dot_general(
+                xt, w1c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1c
+            h = _gelu_exact(h.astype(xt.dtype).astype(jnp.float32)).astype(xt.dtype)
+            w2c = w2_ref[pl.dslice(j * HC, HC), :]
+            return acc + jax.lax.dot_general(
+                h, w2c,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        h = jax.lax.dot_general(
-            x_ref[...], w1_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1_ref[...]
-        h = _gelu_exact(h.astype(x_ref.dtype).astype(jnp.float32)).astype(x_ref.dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            h, w2_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc = jax.lax.fori_loop(
+            0, nH, body, jnp.zeros((xt.shape[0], D_out), jnp.float32)
         )
-
-        @pl.when(j == nH - 1)
-        def _():
-            y = (acc_ref[...] + b2_ref[...]).astype(x_ref.dtype)  # round like unfused
-            yf = y.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-            ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
-            mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
-            out_ref[...] = (x_ref[...].astype(jnp.float32) + mod).astype(out_ref.dtype)
+        y = (acc + b2_ref[...]).astype(xt.dtype)  # round like the unfused path
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
+        out_ref[...] = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype)
 
     per_batch = L // R
 
     out = pl.pallas_call(
         kernel,
-        grid=(nR, nH),
+        grid=(nR,),
         in_specs=[
-            pl.BlockSpec((R, D_in), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_in, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HC), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((HC, D_out), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i, j: (i // per_batch, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i, j: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, D_out), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R, D_out), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * D_in * H + 2 * rows * H * D_out,
             bytes_accessed=(2 * rows * D_in + D_in * H + H * D_out + rows * D_out)
             * x.dtype.itemsize,
             transcendentals=rows * H,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(x2, w1, b1, w2, b2, shift, scale)
@@ -272,10 +310,10 @@ def linear_adaln_residual_fused(
     x2 = x.reshape(rows, D_in)
     s2 = shortcut.reshape(rows, D_out)
 
-    # The (D, D) weight lives whole in VMEM (8 MB at D=2048); shrink the row tile
-    # at large D so x/shortcut/out tiles + f32 temporaries still fit.
-    max_r = max(8, min(512, (6 * 1024 * 1024) // (D_in * 10)))
-    R = row_tile or _pick_row_tile(L, max_tile=max_r)
+    # The (D, D) weight lives whole in VMEM (8 MB at D=2048) with a constant
+    # block index, so it is fetched once; the row tile stays small to bound
+    # Mosaic's unrolled vector body (see module comment on compile time).
+    R = row_tile or _largest_row_tile(L, _ROW_TILE_CAP)
     assert L % R == 0, (L, R)
     nR = rows // R
     per_batch = L // R
@@ -319,6 +357,9 @@ def linear_adaln_residual_fused(
             bytes_accessed=(2 * rows * D_in + D_in * D_out + rows * D_out)
             * x.dtype.itemsize,
             transcendentals=0,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(x2, w, b, s2, shift, scale)

@@ -62,6 +62,34 @@ def test_fused_window_sdpa_matches_xla(num_heads, masked):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("num_heads", [2, 4])
+@pytest.mark.parametrize("masked", [False, True])
+def test_qkv_fused_window_attention_matches_xla(num_heads, masked):
+    """QKV-projection-fused attention kernel (interpret mode) == linear + XLA SDPA."""
+    from aurora_tpu.model.nn import linear
+    from aurora_tpu.model.swin3d import _attn_windows_qkv_fused_pallas
+
+    ws, ss = (2, 3, 4), (0, 1, 2)
+    C, H, W = 4, 7, 10
+    groups = window_group_ids(C, H, W, ws, ss) if masked else None
+    Cp, Hp, Wp = 4, 9, 12
+    nW = (Cp // ws[0]) * (Hp // ws[1]) * (Wp // ws[2])
+    N = ws[0] * ws[1] * ws[2]
+
+    B, D = 2, 8 * num_heads
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    xw = jax.random.normal(k1, (B, nW, N, D), jnp.float32)
+    wqkv = jax.random.normal(k2, (D, 3 * D), jnp.float32) * 0.05
+    bqkv = jax.random.normal(k3, (3 * D,), jnp.float32) * 0.02
+
+    got = _attn_windows_qkv_fused_pallas(xw, wqkv, bqkv, num_heads, groups, interpret=True)
+    qkv = linear({"weight": wqkv, "bias": bqkv}, xw.reshape(B * nW * N, D)).reshape(
+        B, nW, N, 3 * D
+    )
+    want = _xla_sdpa_windows(qkv, num_heads, groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_fused_window_sdpa_padding_tokens_isolated():
     """Padding tokens must not leak into real tokens' outputs.
 

@@ -246,6 +246,56 @@ def main():
             t = timed_loop(qkv_step, xs, f"s{stage} qkv xla (L={Ls},D={Ds})", fl, unit="tf")
             print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
 
+    if "gelu" in variants:
+        # In-kernel VPU cost of the exact-erf GELU: rerun the fused MLP kernel at
+        # stage-0 shape with _gelu_exact swapped for identity / cheaper forms.
+        # The delta vs "exact" is the GELU's contribution to the critical path
+        # (MXU and VPU do not overlap within a grid step).
+        from aurora_tpu.ops import mlp as mlp_mod
+
+        Ds, Ls, Hs = D, L, 4 * D
+        key_s = jax.random.PRNGKey(10)
+        xs = jax.random.normal(key_s, (1, Ls, Ds), jnp.bfloat16)
+        w1 = jax.random.normal(key_s, (Ds, Hs), jnp.float32) * 0.02
+        b1 = jnp.zeros((Hs,), jnp.float32)
+        w2 = jax.random.normal(key_s, (Hs, Ds), jnp.float32) * 0.02
+        b2 = jnp.zeros((Ds,), jnp.float32)
+        sh = jnp.zeros((1, Ds), jnp.float32)
+        sc = jnp.ones((1, Ds), jnp.float32) * 0.1
+        fl_m = 4 * Ls * Ds * Hs
+
+        def poly_gelu(h):
+            # Odd minimax-ish polynomial for erf on |x|<=4 (clamped): no div, no exp.
+            z = jnp.clip(h * 0.7071067811865476, -3.9, 3.9)
+            z2 = z * z
+            # Taylor coefficients of erf(z)/z (TIMING PROBE ONLY — same op count
+            # as a real minimax fit, but inaccurate for |z|>1; do not ship).
+            c = (1.1283791670955126, -0.37612638903183754, 0.11283791670955126,
+                 -0.026866170645131251, 0.0052239776254421878,
+                 -0.00085483270234508528, 0.00012055332981789664)
+            p7 = c[6]
+            for cc in c[5::-1]:
+                p7 = p7 * z2 + cc
+            return 0.5 * h * (1.0 + z * p7)
+
+        for name, fn_gelu in (
+            ("exact", mlp_mod._gelu_exact),
+            ("identity", lambda h: h),
+            ("tanh", lambda h: jax.nn.gelu(h, approximate=True)),
+            ("poly", poly_gelu),
+        ):
+            orig = mlp_mod._gelu_exact
+            mlp_mod._gelu_exact = fn_gelu
+            try:
+                def mlp_step(a, w1=w1, b1=b1, w2=w2, b2=b2, sh=sh, sc=sc):
+                    return mlp_mod.mlp_adaln_residual_fused(a, w1, b1, w2, b2, sh, sc)
+
+                timed_loop(mlp_step, xs, f"s0 mlp gelu={name}", fl_m, unit="tf")
+            except Exception as e:
+                print(f"s0 mlp gelu={name}: FAIL {type(e).__name__}: {str(e)[:100]}", flush=True)
+            finally:
+                mlp_mod._gelu_exact = orig
+
     if "kernel_tiles" in variants:
         # Tile-size sweep for the two fused block-tail kernels, per stage shape.
         from aurora_tpu.ops.mlp import linear_adaln_residual_fused, mlp_adaln_residual_fused
@@ -264,8 +314,8 @@ def main():
             sc = jnp.ones((1, Ds), jnp.float32) * 0.1
 
             fl_p = 2 * Ls * Ds * Ds
-            for rt in (None, 960, 1800, 3240, 5400):
-                if rt is not None and (Ls % rt or rt * Ds * 2 * 10 > 14 * 2**20):
+            for rt in (None, 960, 1800, 3240, 5400, 8100, 16200, 32400):
+                if rt is not None and (Ls % rt or rt * Ds * 2 * 10 > 110 * 2**20):
                     continue
 
                 def proj_step(a, wp=wp, bp=bp, sh=sh, sc=sc, rt=rt):
@@ -277,8 +327,9 @@ def main():
                     print(f"s{stage} proj rt={rt}: FAIL {type(e).__name__}", flush=True)
 
             fl_m = 4 * Ls * Ds * Hs
-            for rt, ht in ((None, None), (960, None), (1800, None), (480, Hs),
-                           (960, Hs), (1800, Hs), (960, 2048), (1800, 2048)):
+            for rt, ht in ((None, None), (960, None), (1800, None), (3240, None),
+                           (960, Hs), (1800, Hs), (3240, Hs), (5400, Hs),
+                           (960, 2048), (1800, 2048), (3240, 2048)):
                 if rt is not None and Ls % rt:
                     continue
                 if ht is not None and (ht > Hs or Hs % ht):
@@ -289,7 +340,7 @@ def main():
                         + rt_eff * Ds * 2 * 4            # x/out tiles (+db)
                         + rt_eff * Ds * 4                # f32 acc
                         + rt_eff * ht_eff * 4)           # hidden f32
-                if vmem > 15 * 2**20:
+                if vmem > 110 * 2**20:
                     continue
 
                 def mlp_step(a, w1=w1, b1=b1, w2=w2, b2=b2, sh=sh, sc=sc, rt=rt, ht=ht):

@@ -127,6 +127,36 @@ def main():
         except Exception as e:
             print(f"pallas proj MB={MB}: FAIL {type(e).__name__}: {e}", flush=True)
 
+    # 3b) Feature-major activations: X stored (K, M), output (N, M).
+    # The N-sweep above fits t = c1*M*K + (M*K*N/peak): a fixed per-(M,K) cost
+    # ~3x the pure-FLOP time at N=512, i.e. the M-major activation stream feeds
+    # the MXU at ~120 GB/s. If the transposed layout kills the offset, the block
+    # GEMMs should run feature-major.
+    xT = jnp.asarray(x.T)  # (K, M) contiguous
+    for N in (512, 2048):
+        w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.bfloat16) * 0.02
+
+        def step_t(aT, w=w, N=N):
+            # (K, N) x (K, M) -> (N, M), contracting dim 0 of both ("TN" GEMM).
+            y = jax.lax.dot_general(
+                w, aT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+            return y[:K] if N >= K else jnp.concatenate([y] * (K // N), axis=0)
+
+        timed_loop(step_t, xT, f"xla feat-major K={K} N={N} (out (N,M))", 2 * M * K * N)
+
+    # 3c) f32 M-major at N=512: is the fixed offset a bf16-layout cost?
+    xf = x.astype(jnp.float32)
+    wf32 = jax.random.normal(jax.random.PRNGKey(1), (K, K), jnp.float32) * 0.02
+
+    def step_f(a):
+        y = jax.lax.dot_general(
+            a, wf32, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return y
+
+    timed_loop(step_f, xf, f"xla f32 M={M} K={K} N={K}", 2 * M * K * K)
+
     # 4) fc2 shape (K=2048 -> N=512): XLA vs Pallas with K accumulation in-VMEM.
     M2, K2, N2 = 64800, 2048, 512
     x2 = jax.random.normal(jax.random.PRNGKey(2), (M2, K2), jnp.bfloat16)
