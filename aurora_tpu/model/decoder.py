@@ -25,14 +25,31 @@ __all__ = ["decoder_init", "decoder_apply", "unpatchify"]
 def unpatchify(x: jax.Array, V: int, H: int, W: int, P: int) -> jax.Array:
     """``(B, L, C, V*P²) -> (B, V, C, H, W)`` (reference: aurora/model/util.py:18-41).
 
-    The pixel-shuffle transpose materialises an intermediate whose minor dimension is
-    ``P``; the TPU's (8, 128) tiled layout pads that to 128, a 128/P x memory blowup
-    (21 GB for the full 13-level 0.1-deg output). Processing one pressure level at a
-    time bounds the padded intermediate to ~1/C of that.
+    TPU layout strategy ("C-in-lanes"): the naive pixel-shuffle transposes
+    materialise intermediates whose minor dimension is ``P`` or ``P*V`` (~20),
+    which the (8, 128) tiled layout pads up to 32x — measured ~42 ms for the
+    ~0.5 GB 0.25° shuffle. Folding the level axis INTO the lane dimension keeps
+    every intermediate's minor at ``C*P*V`` (~260) so both transposes run near
+    copy bandwidth (~23 ms measured, tools/decoder_breakdown.py). The one-shot
+    form needs a (B, H, W/P, C·P·V) scratch; when that exceeds ~1.2 GB (the
+    0.1° case, where it would be 6.7 GB against a 16 GB chip) fall back to the
+    per-level map, which bounds the padded intermediate to ~1/C.
+
+    NOTE: a Pallas pixel-shuffle kernel also exists (aurora_tpu/ops/pixelshuffle.py,
+    interpret-tested) but Mosaic cannot lower its in-kernel lane reshapes yet
+    ("infer-vector-layout: unsupported shape cast").
     """
     B, C = x.shape[0], x.shape[2]
     Hp, Wp = H // P, W // P
     assert x.shape[1] == Hp * Wp and x.shape[-1] == V * P**2
+
+    scratch_bytes = B * H * Wp * C * P * V * x.dtype.itemsize
+    if scratch_bytes <= 1.2 * 2**30:
+        y = x.reshape(B, Hp, Wp, C * P * P * V)
+        t1 = y.reshape(B, Hp, Wp, C, P, P * V)
+        t1 = t1.transpose(0, 1, 4, 2, 3, 5).reshape(B, H, Wp, C * P * V)
+        t2 = t1.reshape(B, H, Wp, C, P, V)
+        return t2.transpose(0, 5, 3, 1, 2, 4).reshape(B, V, C, H, W)
 
     def one_level(xc: jax.Array) -> jax.Array:
         y = xc.reshape(B, Hp, Wp, P, P, V)
@@ -142,6 +159,8 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         x = x.astype(jnp.bfloat16)
         level_embed = level_embed.astype(jnp.bfloat16)
     ctx = x.reshape(Cp, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(Cp, B * L, D)
+    from aurora_tpu.model.swin3d import mesh_active
+
     out = resampler_shared_query_apply(
         p_dec,
         level_embed,
@@ -150,6 +169,7 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
+        fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
     )
     return out.reshape(B, L, *out.shape[1:]).astype(dtype)
 

@@ -129,6 +129,8 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     # copy bandwidth on TPU (sublane-padded — same finding as the decoder's de-agg,
     # tools/decoder_breakdown.py); the resampler reads level-major directly.
     ctx = x.reshape(C_A, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(C_A, B * L, D)
+    from aurora_tpu.model.swin3d import mesh_active
+
     out = resampler_shared_query_apply(
         p["level_agg"],
         latents,
@@ -137,6 +139,7 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
+        fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
     )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3)
 

@@ -109,6 +109,7 @@ def resampler_shared_query_apply(
     ln_eps: float = 1e-5,
     chunk_size=None,
     k_major: bool = False,
+    fuse_mlp: bool = False,
 ) -> jax.Array:
     """Resampler specialised for queries that are IDENTICAL for every context row.
 
@@ -145,22 +146,84 @@ def resampler_shared_query_apply(
     scale = 1.0 / (dh**0.5)
     qh = q0.reshape(Q, num_heads, dh)
 
-    def columns(c):  # (m, K, D) [or (K, m, D) when k_major] -> (m, Q, D)
+    # The attention "GEMMs" here are degenerate — Q and K are 3-13 while the
+    # batch is ~10^5 — so any layout with q/k in the minor dims pads (8, 128)
+    # tiles up to 43x and runs ~20x below copy bandwidth (measured ~100 ms for
+    # ~5 GFLOP at 0.25°, tools/decoder_breakdown.py). The k_major core instead:
+    #   * computes all (head, query) logits as ONE wide GEMM against a
+    #     block-diagonal (inner, h*Q) matrix built from the shared queries,
+    #   * softmaxes over the LEADING level axis (pure elementwise ops), and
+    #   * merges heads inside the out-projection's dot_general (the (m,h,q,d)
+    #     -> (m,q,inner) relayout never materialises).
+    # All three are exact reformulations (added terms are exact zeros).
+    wq_blockdiag = jnp.einsum(
+        "qhd,hk->hdkq", qh, jnp.eye(num_heads, dtype=qh.dtype)
+    ).reshape(inner, num_heads * Q)
+
+    def columns_k_major(c):  # (K, m, D) -> (m, Q, D)
         kv = linear(l0["attn"]["to_kv"], c)
-        k, v = jnp.split(kv, 2, axis=-1)
+        k, v = jnp.split(kv, 2, axis=-1)  # (K, m, inner)
         if "ln_k" in l0["attn"]:
             k = layernorm(l0["attn"]["ln_k"], k)
-        k = k.reshape(*k.shape[:-1], num_heads, dh)
-        v = v.reshape(*v.shape[:-1], num_heads, dh)
-        kspec, vspec = ("kmhd", "kmhd") if k_major else ("mkhd", "mkhd")
-        logits = jnp.einsum(f"qhd,{kspec}->mhqk", qh.astype(k.dtype), k)
+        logits = jax.lax.dot_general(
+            k, wq_blockdiag.astype(k.dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32 if k.dtype == jnp.bfloat16 else None,
+        )  # (K, m, h*Q)
         compute_dtype = jnp.float32 if logits.dtype == jnp.bfloat16 else logits.dtype
         logits = logits.astype(compute_dtype) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        o = jnp.einsum(f"mhqk,{vspec}->mqhd", w, v).reshape(-1, Q, inner)
-        attn = linear(l0["attn"]["to_out"], o)
+        w = jax.nn.softmax(logits, axis=0).astype(v.dtype)
+        w4 = w.reshape(*w.shape[:-1], num_heads, Q)  # (K, m, h, Q)
+        v4 = v.reshape(*v.shape[:-1], num_heads, dh)  # (K, m, h, dh)
+        o4 = jnp.sum(w4[..., None] * v4[..., None, :], axis=0)  # (m, h, Q, dh)
+        # Head merge folded into the out-projection (contract h and dh at once).
+        w_out = l0["attn"]["to_out"]["weight"].astype(o4.dtype)  # (inner, D_out)
+        attn = jax.lax.dot_general(
+            o4, w_out.reshape(num_heads, dh, -1),
+            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        )  # (m, Q, D_out)
+        if "bias" in l0["attn"]["to_out"]:
+            attn = attn + l0["attn"]["to_out"]["bias"].astype(attn.dtype)
+        return attn
+
+    def columns(c):  # (m, K, D) [or (K, m, D) when k_major] -> (m, Q, D)
+        if k_major:
+            attn = columns_k_major(c)
+        else:
+            kv = linear(l0["attn"]["to_kv"], c)
+            k, v = jnp.split(kv, 2, axis=-1)
+            if "ln_k" in l0["attn"]:
+                k = layernorm(l0["attn"]["ln_k"], k)
+            k = k.reshape(*k.shape[:-1], num_heads, dh)
+            v = v.reshape(*v.shape[:-1], num_heads, dh)
+            logits = jnp.einsum("qhd,mkhd->mhqk", qh.astype(k.dtype), k)
+            compute_dtype = jnp.float32 if logits.dtype == jnp.bfloat16 else logits.dtype
+            logits = logits.astype(compute_dtype) * scale
+            w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            o = jnp.einsum("mhqk,mkhd->mqhd", w, v).reshape(-1, Q, inner)
+            attn = linear(l0["attn"]["to_out"], o)
         lat = layernorm(l0["ln1"], attn, eps=ln_eps) + queries[None].astype(attn.dtype)
-        lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=ln_eps) + lat
+        if fuse_mlp:
+            # lat + LN(mlp(lat)): the fused block-tail kernel with the affine LN
+            # folded into the FiLM slot (scale_bias=0, scale=LN weight, shift=LN
+            # bias). The 4x hidden activation (14 TF / ~7 GB at 0.25°) never
+            # touches HBM.
+            from aurora_tpu.ops.mlp import mlp_adaln_residual_fused
+
+            mp, ln2 = l0["mlp"], l0["ln2"]
+            D_lat = lat.shape[-1]
+            lat = mlp_adaln_residual_fused(
+                lat.reshape(1, -1, D_lat),
+                mp["fc1"]["weight"], mp["fc1"]["bias"],
+                mp["fc2"]["weight"], mp["fc2"]["bias"],
+                shift=ln2["bias"][None].astype(jnp.float32),
+                scale=ln2["weight"][None].astype(jnp.float32),
+                scale_bias=0.0,
+                ln_eps=ln_eps,
+                interpret=jax.default_backend() != "tpu",  # CI runs the kernel too
+            ).reshape(lat.shape)
+        else:
+            lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=ln_eps) + lat
         for layer in layers[1:]:
             c_m = jnp.swapaxes(c, 0, 1) if k_major else c  # generic layers are M-major
             attn_out = layernorm(

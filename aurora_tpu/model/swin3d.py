@@ -558,11 +558,22 @@ def swin_block_apply(
 
     shortcut = x
 
+    on_mesh_early = mesh_active()
+    roll_pallas = jax.default_backend() == "tpu" and not on_mesh_early
+
+    def do_roll(t, sh):
+        if roll_pallas:
+            # Single-pass Pallas shifted copy (jnp.roll = 3 sequential rotates).
+            from aurora_tpu.ops.roll import roll3d_pallas
+
+            return roll3d_pallas(t, sh)
+        # Under a sharded (H, W) grid, XLA lowers this roll to an ICI
+        # collective-permute (thin halo — the shift never exceeds half a window).
+        return jnp.roll(t, shift=sh, axis=(1, 2, 3))
+
     shifted = not all(s == 0 for s in ss)
     if shifted:
-        # Under a sharded (H, W) grid, XLA lowers this roll to an ICI collective-permute
-        # (thin halo exchange — the shift never exceeds half a window).
-        x = jnp.roll(x, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+        x = do_roll(x, (-ss[0], -ss[1], -ss[2]))
         groups = window_group_ids(C, H, W, ws, ss, warped=warped)
     else:
         groups = None
@@ -591,7 +602,7 @@ def swin_block_apply(
     x = crop_3d(xp, pad)
 
     if shifted:
-        x = jnp.roll(x, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        x = do_roll(x, (ss[0], ss[1], ss[2]))
 
     # Unsharded: run the residual/LN/MLP chain on the flat (B, L, D) layout (the
     # fastest single-chip GEMM shape — see window_attention_apply). Under a mesh:

@@ -181,6 +181,7 @@ def mlp_adaln_residual_fused(
     interpret: bool = False,
     row_tile: int | None = None,
     hidden_tile: int | None = None,
+    ln_eps: float = 1e-5,
 ):
     """``x + AdaLN(mlp(x))`` — the whole Swin-block MLP branch as ONE kernel.
 
@@ -246,7 +247,7 @@ def mlp_adaln_residual_fused(
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-        ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
         mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
         out_ref[...] = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype)
 

@@ -52,6 +52,17 @@ def bench_jax(steps=3):
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the fused-kernel programs take minutes to
+    # compile through the remote-compile tunnel; cache hits make reruns ~30 s.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from aurora_tpu.batch import Batch, Metadata
     from aurora_tpu.model.aurora import Aurora, init_params
     from aurora_tpu.model.config import LARGE_CONFIG

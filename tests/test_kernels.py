@@ -118,6 +118,57 @@ def test_fused_window_sdpa_padding_tokens_isolated():
     )
 
 
+def test_shared_query_resampler_fused_mlp_matches_unfused():
+    """fuse_mlp=True (kernel tail, interpret mode on CPU) == the plain XLA tail."""
+    from aurora_tpu.model.perceiver import (
+        perceiver_resampler_init,
+        resampler_shared_query_apply,
+    )
+
+    D, nh, Q, K, M = 64, 4, 13, 3, 48
+    p = perceiver_resampler_init(
+        jax.random.PRNGKey(0), latent_dim=D, context_dim=D, depth=1,
+        head_dim=D // nh, num_heads=nh, mlp_ratio=2.0,
+    )
+    # Non-trivial affine LN so the fold (scale_bias=0, scale=w, shift=b) is exercised.
+    p["layers"][0]["ln2"]["weight"] = 1.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(1), (D,))
+    p["layers"][0]["ln2"]["bias"] = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (D,))
+    queries = jax.random.normal(jax.random.PRNGKey(3), (Q, D))
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (K, M, D))
+
+    want = resampler_shared_query_apply(p, queries, ctx, nh, k_major=True)
+    got = resampler_shared_query_apply(p, queries, ctx, nh, k_major=True, fuse_mlp=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("C,V", [(13, 5), (1, 7)])
+def test_unpatchify_pallas_matches_xla(C, V):
+    """Pallas pixel-shuffle kernel (interpret mode) == the XLA unpatchify."""
+    from aurora_tpu.model.decoder import unpatchify
+    from aurora_tpu.ops.pixelshuffle import unpatchify_pallas
+
+    B, P, Hp, Wp = 2, 4, 6, 10
+    H, W = Hp * P, Wp * P
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, Hp * Wp, C, V * P * P), jnp.float32)
+    want = unpatchify(x, V, H, W, P)  # CPU backend -> XLA path
+    got = unpatchify_pallas(x, V, H, W, P, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize(
+    "shifts", [(-1, -3, -6), (1, 3, 6), (0, 5, 0), (2, 0, 7), (0, 0, 3), (3, 2, 1)]
+)
+def test_roll3d_pallas_matches_jnp(shifts):
+    """Single-pass Pallas roll (interpret mode) == jnp.roll over (C, H, W)."""
+    from aurora_tpu.ops.roll import roll3d_pallas
+
+    B, C, H, W, D = 2, 4, 10, 12, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, C, H, W, D), jnp.float32)
+    want = jnp.roll(x, shift=shifts, axis=(1, 2, 3))
+    got = roll3d_pallas(x, shifts, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_bf16_layernorm_large_mean_channels():
     """bf16 LN uses a shifted-variance form: must stay accurate when |mean| >> std.
 

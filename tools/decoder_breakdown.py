@@ -64,7 +64,8 @@ def main():
     )
     l0 = rs["layers"][0]
     le = jax.random.normal(key, (C_A, D), jnp.float32)
-    ctx = jax.random.normal(key, (1, L, Cp, D), jnp.float32)
+    # Level-major, as the backbone hands it to the decoder (see dec._deaggregate).
+    ctx = jax.random.normal(key, (1, Cp, L, D), jnp.float32)
 
     # --- full de-agg (current production path)
     def deagg(cc, eps):
@@ -83,8 +84,8 @@ def main():
 
     timed("deaggregate FULL bf16", jax.jit(deagg16), ctx)
 
-    # --- stage isolation (same chunking)
-    ctx_fl = ctx.reshape(L, Cp, D)
+    # --- stage isolation (same chunking; stages run m-major like the kernel's rows)
+    ctx_fl = ctx.reshape(Cp, L, D).transpose(1, 0, 2)
     pad = (-L) % chunk
     ctx_fl = jnp.pad(ctx_fl, ((0, pad), (0, 0), (0, 0)))
     blocks = ctx_fl.reshape(-1, chunk, Cp, D)  # 8 chunks, like production
@@ -111,9 +112,9 @@ def main():
 
     timed("  attention core (einsums+softmax)", jax.jit(attn_stage), kvb)
 
-    o0 = jax.lax.map(
-        lambda kvc: jnp.broadcast_to(le[None], (chunk, C_A, D)) * 0 + 1.0, kvb
-    )  # placeholder latents (nblk, chunk, C_A, D)
+    nblk = kvb.shape[0]
+    del kvb  # free ~2.4 GB before allocating the tail-stage input
+    o0 = jax.random.normal(key, (nblk, chunk, C_A, D), jnp.float32) * 0.02
 
     def tail_stage(oo, eps):
         def one(oc):
@@ -143,6 +144,26 @@ def main():
         return dec.unpatchify(xx + eps, len(cfg.atmos_vars), Hp * P, Wp * P, P)
 
     timed("unpatchify (13 levels)", jax.jit(unp), xa)
+
+    def unp16(xx, eps):
+        return dec.unpatchify(
+            (xx + eps).astype(jnp.bfloat16), len(cfg.atmos_vars), Hp * P, Wp * P, P
+        ).astype(jnp.float32)
+
+    timed("unpatchify bf16 shuffle", jax.jit(unp16), xa)
+
+    Vv = len(cfg.atmos_vars)
+
+    def unp_lanes(xx, eps):
+        # C-in-lanes two-step shuffle: every intermediate keeps a >=260-lane minor.
+        y = (xx + eps).reshape(1, Hp, Wp, C_A * P * P * Vv)
+        t1 = y.reshape(1, Hp, Wp, C_A, P, P * Vv)
+        t1 = t1.transpose(0, 1, 4, 2, 3, 5).reshape(1, Hp * P, Wp, C_A * P * Vv)
+        t2 = t1.reshape(1, Hp * P, Wp, C_A, P, Vv)
+        t2 = t2.transpose(0, 5, 3, 1, 2, 4).reshape(1, Vv, C_A, Hp * P, Wp * P)
+        return t2
+
+    timed("unpatchify C-in-lanes", jax.jit(unp_lanes), xa)
 
     x = jax.random.normal(key, (1, C_l * L, D), jnp.float32)
 
