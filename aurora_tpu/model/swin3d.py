@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +56,21 @@ from aurora_tpu.ops.masks import (
 from aurora_tpu.parallel.sharding import TOKENS_5D_SPEC, constrain
 
 __all__ = ["BackboneConfig", "backbone_init", "backbone_apply", "maybe_adjust_windows"]
+
+# Window-batch VMEM budget for the fused attention kernels. Swept on hardware
+# (tools/backbone_ablate.py --variants attn_tiles): flat from 4-16 MB and
+# slightly WORSE above ~24 MB — the kernel is bound by the per-head attention
+# core, not by M-amortisation of the in-kernel QKV GEMM.
+_ATTN_VMEM_MB = int(os.environ.get("AURORA_ATTN_VMEM_MB", "8"))
+_VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
+
+
+def _pick_window_batch(nW: int, per_window: int, budget_mb: int | None) -> int:
+    budget = max(1, ((budget_mb or _ATTN_VMEM_MB) * 1024 * 1024) // per_window)
+    for cand in range(min(nW, budget), 0, -1):
+        if nW % cand == 0:
+            return cand
+    return 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -171,6 +188,7 @@ def window_attention_apply(
     rollout_step: jax.Array,
     cfg: BackboneConfig,
     project: bool = True,
+    tail=None,
 ) -> jax.Array:
     """W-MSA over windows ``x: (B, C1, H1, W1, N, D)``.
 
@@ -205,12 +223,14 @@ def window_attention_apply(
 
     if impl == "pallas" and "lora_qkv" not in p:
         # QKV projection fused into the attention kernel: the (M, 3D) qkv tensor
-        # never touches HBM (see _attn_windows_qkv_fused_pallas).
+        # never touches HBM (see _attn_windows_qkv_fused_pallas). With ``tail``
+        # the whole block tail (proj/AdaLN/residual) runs in-kernel too and the
+        # result is the post-residual window tensor.
         out = _attn_windows_qkv_fused_pallas(
             x.reshape(B, nW, N, D), p["qkv"]["weight"], p["qkv"]["bias"],
-            num_heads, groups,
+            num_heads, groups, tail=tail,
         ).reshape(B, C1, H1, W1, N, D)
-        if not project:
+        if tail is not None or not project:
             return out
         out2 = out.reshape(B * nW * N, D)
         return with_lora("lora_proj", out2, linear(p["proj"], out2)).reshape(
@@ -254,7 +274,9 @@ def window_attention_apply(
     )
 
 
-def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = False):
+def _sdpa_windows_fused_pallas(
+    windows, num_heads, groups, interpret: bool = False, budget_mb: int | None = None
+):
     """Pallas TPU kernel over raw windows ``(B, nW, N, 3D)`` -> ``(B, nW, N, D)``.
 
     Consumes the window-partition layout directly — no XLA head-split/merge transposes
@@ -273,12 +295,7 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = Fal
     scale = 1.0 / math.sqrt(dh)
 
     per_window = N * 4 * D * windows.dtype.itemsize + (N * N * 4 if masked else 0)
-    budget = max(1, (4 * 1024 * 1024) // per_window)
-    KW = 1
-    for cand in range(min(nW, budget), 0, -1):
-        if nW % cand == 0:
-            KW = cand
-            break
+    KW = _pick_window_batch(nW, per_window, budget_mb)
 
     def kernel(*args):
         if masked:
@@ -335,12 +352,16 @@ def _sdpa_windows_fused_pallas(windows, num_heads, groups, interpret: bool = Fal
             bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3,
             transcendentals=B * nW * h * N * N,
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(*inputs)
 
 
 def _attn_windows_qkv_fused_pallas(
-    xw, wqkv, bqkv, num_heads, groups, interpret: bool = False
+    xw, wqkv, bqkv, num_heads, groups, interpret: bool = False,
+    budget_mb: int | None = None, tail=None, ln_eps: float = 1e-5,
 ):
     """Window attention with the QKV projection fused in:
     ``(B, nW, N, D) -> (B, nW, N, D)``.
@@ -353,6 +374,18 @@ def _attn_windows_qkv_fused_pallas(
     The weight block uses a constant index map, so Mosaic fetches it once for
     the entire grid. Numerics match ``linear`` exactly: f32-accumulated dot
     rounded to the input dtype, bias added after rounding.
+
+    ``tail``: optional ``(wproj, bproj, shift, scale)`` — fuses the WHOLE
+    attention-side block tail (``out = x + AdaLN(proj(attn(x)))``) into the
+    kernel. proj, LayerNorm, the FiLM affine and the residual are all
+    per-token, so they commute with roll/pad/window-partition — and the
+    residual is exactly the kernel's input rows, already in VMEM. This erases
+    the separate tail kernel's entire HBM traffic (read attn-out + read
+    shortcut + write, ~1 GB per stage-0 block; the tail kernel ran at 16-23%
+    of floor, tools/backbone_ablate.py --variants kernels). ``shift``/``scale``
+    are the per-batch (B, D) FiLM modulations; numerics match
+    ``linear_adaln_residual_fused`` (f32-accumulated proj rounded to the input
+    dtype, f32 two-pass LN statistics).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -365,20 +398,22 @@ def _attn_windows_qkv_fused_pallas(
 
     wqkv = wqkv.astype(xw.dtype)
     bqkv = bqkv.astype(xw.dtype).reshape(1, 3 * D)
+    if tail is not None:
+        wproj, bproj, t_shift, t_scale = tail
+        wproj = wproj.astype(xw.dtype)
+        bproj = bproj.astype(jnp.float32).reshape(1, D)
+        t_shift = t_shift.astype(jnp.float32)
+        t_scale = t_scale.astype(jnp.float32)
 
     per_window = N * 6 * D * xw.dtype.itemsize + (N * N * 4 if masked else 0)
-    budget = max(1, (4 * 1024 * 1024) // per_window)
-    KW = 1
-    for cand in range(min(nW, budget), 0, -1):
-        if nW % cand == 0:
-            KW = cand
-            break
+    KW = _pick_window_batch(nW, per_window, budget_mb)
 
     def kernel(*args):
         if masked:
-            b_ref, x_ref, w_ref, bias_ref, out_ref = args
+            b_ref, x_ref, w_ref, bias_ref, *rest = args
         else:
-            x_ref, w_ref, bias_ref, out_ref = args
+            x_ref, w_ref, bias_ref, *rest = args
+        out_ref = rest[-1]
         xt = x_ref[0].reshape(KW * N, D)
         qkv = jax.lax.dot_general(
             xt, w_ref[...],
@@ -409,7 +444,27 @@ def _attn_windows_qkv_fused_pallas(
                     preferred_element_type=jnp.float32,
                 ).astype(x.dtype)
             )
-        out_ref[0] = jnp.concatenate(outs, axis=-1)
+        attn = jnp.concatenate(outs, axis=-1)
+        if tail is None:
+            out_ref[0] = attn
+            return
+        wp_ref, bp_ref, sh_ref, sc_ref = rest[:4]
+        y = (
+            jax.lax.dot_general(
+                attn.reshape(KW * N, D), wp_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bp_ref[...]
+        ).astype(xt.dtype)  # round like the unfused path
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+        mod = ln * sc_ref[...] + sh_ref[...]
+        out_ref[0] = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype).reshape(
+            KW, N, D
+        )
 
     in_specs = [
         pl.BlockSpec((1, KW, N, D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
@@ -417,6 +472,14 @@ def _attn_windows_qkv_fused_pallas(
         pl.BlockSpec((1, 3 * D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [xw, wqkv, bqkv]
+    if tail is not None:
+        in_specs += [
+            pl.BlockSpec((D, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [wproj, bproj, t_shift, t_scale]
     if masked:
         in_specs.insert(
             0,
@@ -424,6 +487,7 @@ def _attn_windows_qkv_fused_pallas(
         )
         inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
 
+    proj_flops = 2 * B * nW * N * D * D if tail is not None else 0
     return pl.pallas_call(
         kernel,
         grid=(B, nW // KW),
@@ -433,10 +497,15 @@ def _attn_windows_qkv_fused_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, nW, N, D), xw.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * nW * N * D * 3 * D + 2 * 2 * B * nW * h * N * N * dh,
+            flops=2 * B * nW * N * D * 3 * D
+            + 2 * 2 * B * nW * h * N * N * dh
+            + proj_flops,
             bytes_accessed=2 * B * nW * N * D * xw.dtype.itemsize
             + 3 * D * D * xw.dtype.itemsize,
             transcendentals=B * nW * h * N * N,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(*inputs)
@@ -586,17 +655,38 @@ def swin_block_apply(
     mimpl = cfg.mlp_impl
     if mimpl == "auto":
         mimpl = "fused" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
-    # Fused attention tail: the per-token proj GEMM commutes with window-reverse,
-    # crop and roll, so it runs *after* un-windowing inside one Pallas kernel with
-    # AdaLN and the residual (LoRA on proj takes the unfused path).
+    aimpl = cfg.attention_impl
+    if aimpl == "auto":
+        aimpl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+    # Fused attention tail: proj, AdaLN and the residual are all per-token, so
+    # they commute with window-reverse, crop and roll (LoRA takes unfused paths).
     fuse_attn_tail = (
         mimpl == "fused" and not on_mesh and "lora_proj" not in p["attn"]
     )
+    # Best case: the tail runs INSIDE the qkv-fused attention kernel — the
+    # residual is the kernel's own input rows (partition(pad(roll(x)))), so the
+    # whole proj/AdaLN/residual chain costs zero extra HBM traffic (the separate
+    # tail kernel ran at 16-23% of floor, dominated by its 3 HBM passes). Padded
+    # rows flow through proj/LN too, but every op is per-token and they are
+    # cropped right after.
+    tail_in_kernel = (
+        fuse_attn_tail and aimpl == "pallas" and "lora_qkv" not in p["attn"]
+    )
+
+    tail = None
+    if fuse_attn_tail:
+        mod1 = linear(p["norm1"]["modulation"], jax.nn.silu(c))  # (B, 2D)
+        shift1, scale1 = jnp.split(mod1, 2, axis=-1)
+        if tail_in_kernel:
+            tail = (
+                p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"],
+                shift1, scale1,
+            )
 
     windows = window_partition(xp, ws)  # (B, C1, H1, W1, N, D)
     attn = window_attention_apply(
         p["attn"], windows, num_heads, groups, rollout_step, cfg,
-        project=not fuse_attn_tail,
+        project=not fuse_attn_tail, tail=tail,
     )
     xp = window_reverse(attn, ws, Cp, Hp, Wp)
     x = crop_3d(xp, pad)
@@ -610,9 +700,9 @@ def swin_block_apply(
     if not on_mesh:
         x = x.reshape(B, C * H * W, D)
         shortcut = shortcut.reshape(B, C * H * W, D)
-    if fuse_attn_tail:
-        mod1 = linear(p["norm1"]["modulation"], jax.nn.silu(c))  # (B, 2D)
-        shift1, scale1 = jnp.split(mod1, 2, axis=-1)
+    if tail_in_kernel:
+        pass  # x is already post-residual: the tail ran in the attention kernel
+    elif fuse_attn_tail:
         x = linear_adaln_residual_fused(
             x, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"],
             shortcut, shift1, scale1,

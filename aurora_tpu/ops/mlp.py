@@ -57,15 +57,24 @@ def _mlp_tiles(L: int, d_in: int, hidden: int, itemsize: int) -> tuple[int, int]
     return _largest_row_tile(L, _ROW_TILE_CAP), min(HC, hidden)
 
 
-# Minimax-style Chebyshev fit of erf(z)/z in t = z^2 on [0, 16]; max abs error
-# 2.7e-7 over |z| <= 4 (same order as A&S 7.1.26 at 1.5e-7, both far below bf16
-# resolution of the rounded GELU output). Beyond |z| = 4 the argument clamps and
-# the residual matches erfc(4) ~ 1.5e-8. Chosen over the exp-based A&S form
-# because the VPU cost of the GELU sits on the kernel's critical path (MXU and
-# VPU do not overlap within a Pallas grid step): exp + divide cost ~2.4 ms per
-# stage-0 block vs ~1.2 ms for the pure-FMA Horner chain (hardware probe:
-# tools/backbone_ablate.py --variants gelu).
-_ERF_POLY = (
+# Two erf fits for in-kernel use (Mosaic cannot lower lax.erf). The VPU cost
+# of the GELU sits on the kernel's critical path (MXU and VPU do not overlap
+# within a Pallas grid step); hardware probes (tools/backbone_ablate.py
+# --variants gelu) showed exp + divide cost ~2.4 ms per stage-0 block, the
+# deg-14 Horner ~1.25 ms, while jnp.tanh is nearly FREE (~0.05 ms over an
+# identity GELU — it lowers to a native Mosaic op).
+#
+# * accurate (deg-14 Horner in t = z^2, clamp |z|<=4): max abs error 2.7e-7 —
+#   used when the kernel input is f32, where the poly error would be visible.
+# * fast: erf(z) ~= tanh(z * p4(z^2)) with a 5-coefficient least-squares fit
+#   of the odd polynomial on [0, 6]: max abs error 3.3e-6 in f32 (0.08% of a
+#   bf16 ulp; the bf16-rounded GELU matches the exact-erf form except ~1-ulp
+#   flips at rounding boundaries — measured 5.6% of values, max abs diff
+#   4.9e-4). Needs NO clamp: p4's leading coefficient is positive, so p -> +inf
+#   monotonically beyond z=6 (checked to f32 overflow, where inf -> tanh=1)
+#   and the large-|x| GELU tails are exact. Used on the bf16 (autocast
+#   production) path.
+_ERF_POLY_ACCURATE = (
     1.12837906061501858e+00,
     -3.76123277617367191e-01,
     1.12822749896386909e-01,
@@ -82,21 +91,33 @@ _ERF_POLY = (
     -8.77807642063390849e-14,
     6.82655307690991893e-16,
 )
+_ERF_TANH_POLY = (
+    1.1283601697e00,
+    1.0292075799e-01,
+    -4.8011797172e-04,
+    -4.2244919600e-04,
+    3.3182019294e-05,
+)
 
 
-def _erf(z):
-    """Division/exp-free erf for in-kernel use (Mosaic cannot lower lax.erf)."""
-    z = jnp.clip(z, -4.0, 4.0)
+def _erf(z, accurate: bool = True):
+    if accurate:
+        zc = jnp.clip(z, -4.0, 4.0)
+        t = zc * zc
+        p = jnp.float32(_ERF_POLY_ACCURATE[-1])
+        for c in _ERF_POLY_ACCURATE[-2::-1]:
+            p = p * t + jnp.float32(c)
+        return jnp.where(jnp.abs(z) > 4.0, jnp.sign(z), zc * p)
     t = z * z
-    p = jnp.float32(_ERF_POLY[-1])
-    for c in _ERF_POLY[-2::-1]:
+    p = jnp.float32(_ERF_TANH_POLY[-1])
+    for c in _ERF_TANH_POLY[-2::-1]:
         p = p * t + jnp.float32(c)
-    return z * p
+    return jnp.tanh(z * p)
 
 
-def _gelu_exact(x):
+def _gelu_exact(x, accurate: bool = True):
     """Erf-form GELU (the torch default the reference uses)."""
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476, accurate=accurate))
 
 
 def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array):
@@ -116,6 +137,7 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
 
     R, HC = _mlp_tiles(rows, D_in, H, x2.dtype.itemsize)
     nR, nH = rows // R, H // HC
+    accurate_gelu = x2.dtype == jnp.float32  # fast poly is below bf16 ulp only
 
     w1 = w1.astype(x.dtype)
     w2 = w2.astype(x.dtype)
@@ -133,7 +155,9 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + b1c
-            h = _gelu_exact(h.astype(xt.dtype).astype(jnp.float32)).astype(xt.dtype)
+            h = _gelu_exact(
+                h.astype(xt.dtype).astype(jnp.float32), accurate=accurate_gelu
+            ).astype(xt.dtype)
             w2c = w2_ref[pl.dslice(j * HC, HC), :]
             return acc + jax.lax.dot_general(
                 h, w2c,
@@ -213,6 +237,7 @@ def mlp_adaln_residual_fused(
     HC = hidden_tile or auto_hc
     assert L % R == 0 and H % HC == 0, (L, R, H, HC)
     nR, nH = rows // R, H // HC
+    accurate_gelu = x2.dtype == jnp.float32  # fast poly is below bf16 ulp only
 
     w1 = w1.astype(x.dtype)
     w2 = w2.astype(x.dtype)
@@ -232,7 +257,9 @@ def mlp_adaln_residual_fused(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + b1c
-            h = _gelu_exact(h.astype(xt.dtype).astype(jnp.float32)).astype(xt.dtype)
+            h = _gelu_exact(
+                h.astype(xt.dtype).astype(jnp.float32), accurate=accurate_gelu
+            ).astype(xt.dtype)
             w2c = w2_ref[pl.dslice(j * HC, HC), :]
             return acc + jax.lax.dot_general(
                 h, w2c,

@@ -90,6 +90,50 @@ def test_qkv_fused_window_attention_matches_xla(num_heads, masked):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("num_heads", [2, 4])
+@pytest.mark.parametrize("masked", [False, True])
+def test_attn_tail_fused_matches_xla(num_heads, masked):
+    """Attention kernel with the in-kernel block tail (proj -> AdaLN -> +residual)
+    == linear + XLA SDPA + the unfused tail chain, including FiLM modulations."""
+    from aurora_tpu.model.nn import linear
+    from aurora_tpu.model.swin3d import _attn_windows_qkv_fused_pallas
+
+    ws, ss = (2, 3, 4), (0, 1, 2)
+    C, H, W = 4, 7, 10
+    groups = window_group_ids(C, H, W, ws, ss) if masked else None
+    Cp, Hp, Wp = 4, 9, 12
+    nW = (Cp // ws[0]) * (Hp // ws[1]) * (Wp // ws[2])
+    N = ws[0] * ws[1] * ws[2]
+
+    B, D = 2, 8 * num_heads
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    xw = jax.random.normal(ks[0], (B, nW, N, D), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.05
+    bqkv = jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.02
+    wproj = jax.random.normal(ks[3], (D, D), jnp.float32) * 0.05
+    bproj = jax.random.normal(ks[4], (D,), jnp.float32) * 0.02
+    shift = jax.random.normal(ks[5], (B, D), jnp.float32)
+    scale = jax.random.normal(ks[6], (B, D), jnp.float32) * 0.3
+
+    got = _attn_windows_qkv_fused_pallas(
+        xw, wqkv, bqkv, num_heads, groups, interpret=True,
+        tail=(wproj, bproj, shift, scale),
+    )
+
+    qkv = linear({"weight": wqkv, "bias": bqkv}, xw.reshape(B * nW * N, D)).reshape(
+        B, nW, N, 3 * D
+    )
+    attn = _xla_sdpa_windows(qkv, num_heads, groups)
+    y = linear({"weight": wproj, "bias": bproj}, attn.reshape(B * nW * N, D)).reshape(
+        B, nW, N, D
+    )
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    ln = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    want = xw + ln * scale[:, None, None, :] + shift[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_fused_window_sdpa_padding_tokens_isolated():
     """Padding tokens must not leak into real tokens' outputs.
 

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--H", type=int, default=721)
     ap.add_argument("--W", type=int, default=1440)
+    ap.add_argument("--stages", default="0,1,2", help="stage filter for sweeps")
     ap.add_argument(
         "--variants",
         default="base,mlp_pallas,no_adaln,no_roll,no_attn",
@@ -246,6 +247,191 @@ def main():
             t = timed_loop(qkv_step, xs, f"s{stage} qkv xla (L={Ls},D={Ds})", fl, unit="tf")
             print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
 
+    if "attn" in variants:
+        # The qkv-fused window-attention kernel at each stage's (nW, N, D) shape,
+        # masked and unmasked, vs its analytic floor (MXU qkv GEMM + attention core
+        # FLOPs, HBM: read x + write out + weight).
+        from aurora_tpu.ops.masks import window_group_ids
+
+        PEAK_TF, PEAK_BW = 197e12, 819e9
+        ws = bb.window_size
+        N = ws[0] * ws[1] * ws[2]
+        stage_geom = [  # (res, D, heads) per stage (0.25 deg, latent levels 4)
+            ((4, 180, 360), D, bb.encoder_num_heads[0]),
+            ((4, 90, 180), 2 * D, bb.encoder_num_heads[1]),
+            ((4, 48, 96), 4 * D, bb.encoder_num_heads[2]),
+        ]
+        for stage, (res, Ds, heads) in enumerate(stage_geom):
+            if str(stage) not in args.stages.split(","):
+                continue
+            nW = (res[0] // ws[0]) * (res[1] // ws[1]) * (res[2] // ws[2])
+            xw = jax.random.normal(jax.random.PRNGKey(5 + stage), (1, nW, N, Ds), jnp.bfloat16)
+            wq = jax.random.normal(jax.random.PRNGKey(6), (Ds, 3 * Ds), jnp.bfloat16) * 0.02
+            bq = jnp.zeros((3 * Ds,), jnp.bfloat16)
+            ss = (ws[0] // 2, ws[1] // 2, ws[2] // 2)
+            groups = window_group_ids(*res, ws, ss, warped=True)
+            fl = 2 * nW * N * Ds * 3 * Ds + 4 * nW * N * N * Ds
+            by = 2 * nW * N * Ds * 2 + 3 * Ds * Ds * 2
+            floor = max(fl / PEAK_TF, by / PEAK_BW)
+            for label, g in (("unmasked", None), ("masked", groups)):
+
+                def attn_step(a, wq=wq, bq=bq, heads=heads, g=g):
+                    return swin3d._attn_windows_qkv_fused_pallas(a, wq, bq, heads, g)
+
+                t = timed_loop(
+                    attn_step, xw, f"s{stage} attn_qkv_fused {label} (nW={nW},D={Ds})",
+                    fl, unit="tf",
+                )
+                print(f"    floor {floor*1e3:6.2f} ms -> {floor/t*100:4.0f}% of floor", flush=True)
+
+    if "attn_tiles" in variants:
+        # Window-batch (VMEM budget) sweep for the qkv-fused attention kernel.
+        from aurora_tpu.ops.masks import window_group_ids
+
+        ws = bb.window_size
+        N = ws[0] * ws[1] * ws[2]
+        stage_geom = [
+            ((4, 180, 360), D, bb.encoder_num_heads[0]),
+            ((4, 90, 180), 2 * D, bb.encoder_num_heads[1]),
+            ((4, 48, 96), 4 * D, bb.encoder_num_heads[2]),
+        ]
+        for stage, (res, Ds, heads) in enumerate(stage_geom):
+            if str(stage) not in args.stages.split(","):
+                continue
+            nW = (res[0] // ws[0]) * (res[1] // ws[1]) * (res[2] // ws[2])
+            xw = jax.random.normal(jax.random.PRNGKey(5 + stage), (1, nW, N, Ds), jnp.bfloat16)
+            wq = jax.random.normal(jax.random.PRNGKey(6), (Ds, 3 * Ds), jnp.bfloat16) * 0.02
+            bq = jnp.zeros((3 * Ds,), jnp.bfloat16)
+            ss = (ws[0] // 2, ws[1] // 2, ws[2] // 2)
+            groups = window_group_ids(*res, ws, ss, warped=True)
+            fl = 2 * nW * N * Ds * 3 * Ds + 4 * nW * N * N * Ds
+            for mb in (4, 8, 16, 24, 32, 48, 64):
+
+                def attn_step(a, wq=wq, bq=bq, heads=heads, groups=groups, mb=mb):
+                    return swin3d._attn_windows_qkv_fused_pallas(
+                        a, wq, bq, heads, groups, budget_mb=mb
+                    )
+
+                try:
+                    timed_loop(attn_step, xw, f"s{stage} attn mb={mb} (nW={nW},D={Ds})", fl, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} attn mb={mb}: FAIL {type(e).__name__}: {str(e)[:80]}", flush=True)
+
+    if "attn_probe" in variants:
+        # What inside the qkv-fused attention kernel costs the time? Timing-only
+        # kernel variants (some numerically WRONG by construction) at stage-0 shape.
+        import math as _math
+        from functools import partial as _partial
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        res, Ds, heads = (4, 180, 360), D, bb.encoder_num_heads[0]
+        ws = bb.window_size
+        N = ws[0] * ws[1] * ws[2]
+        nW = (res[0] // ws[0]) * (res[1] // ws[1]) * (res[2] // ws[2])
+        dh = Ds // heads
+        scale = 1.0 / _math.sqrt(dh)
+        xw = jax.random.normal(jax.random.PRNGKey(5), (1, nW, N, Ds), jnp.bfloat16)
+        wq = jax.random.normal(jax.random.PRNGKey(6), (Ds, 3 * Ds), jnp.bfloat16) * 0.02
+        bq = jnp.zeros((1, 3 * Ds), jnp.bfloat16)
+        per_window = N * 6 * Ds * 2
+        KW = max(c for c in range(1, (8 * 2**20) // per_window + 1) if nW % c == 0)
+        fl = 2 * nW * N * Ds * 3 * Ds + 4 * nW * N * N * Ds
+
+        def make_probe(mode):
+            def kernel(x_ref, w_ref, bias_ref, out_ref):
+                xt = x_ref[0].reshape(KW * N, Ds)
+                qkv = jax.lax.dot_general(
+                    xt, w_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(xt.dtype) + bias_ref[...]
+                if mode == "no_core":
+                    out_ref[0] = qkv[:, :Ds].reshape(KW, N, Ds)
+                    return
+                x = qkv.reshape(KW, N, 3 * Ds)
+                if mode == "fulld":
+                    q = x[..., :Ds]
+                    k = x[..., Ds : 2 * Ds]
+                    v = x[..., 2 * Ds :]
+                    logits = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                    out_ref[0] = jax.lax.dot_general(
+                        w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)
+                    return
+                outs = []
+                for hh in range(heads):
+                    q = x[..., hh * dh : (hh + 1) * dh]
+                    k = x[..., Ds + hh * dh : Ds + (hh + 1) * dh]
+                    v = x[..., 2 * Ds + hh * dh : 2 * Ds + (hh + 1) * dh]
+                    logits = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ) * scale
+                    if mode == "no_softmax":
+                        w = logits.astype(x.dtype)
+                    else:
+                        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                    outs.append(jax.lax.dot_general(
+                        w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype))
+                out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+            def run(a):
+                return pl.pallas_call(
+                    kernel,
+                    grid=(1, nW // KW),
+                    in_specs=[
+                        pl.BlockSpec((1, KW, N, Ds), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((Ds, 3 * Ds), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 3 * Ds), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, KW, N, Ds), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((1, nW, N, Ds), a.dtype),
+                    compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+                )(a, wq, bq)
+
+            return run
+
+        for mode in ("baseline", "no_softmax", "no_core", "fulld"):
+            try:
+                timed_loop(make_probe(mode), xw, f"s0 attn_probe {mode} (KW={KW})", fl, unit="tf")
+            except Exception as e:
+                print(f"s0 attn_probe {mode}: FAIL {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    if "proj_tiles" in variants:
+        # Row-tile sweep for the proj block-tail kernel only.
+        from aurora_tpu.ops.mlp import linear_adaln_residual_fused
+
+        for stage, (Ds, Ls) in enumerate([(D, L), (2 * D, L // 4), (4 * D, L // 16)]):
+            if str(stage) not in args.stages.split(","):
+                continue
+            key_s = jax.random.PRNGKey(10 + stage)
+            xs = jax.random.normal(key_s, (1, Ls, Ds), jnp.bfloat16)
+            wp = jax.random.normal(key_s, (Ds, Ds), jnp.float32) * 0.02
+            bp = jnp.zeros((Ds,), jnp.float32)
+            sh = jnp.zeros((1, Ds), jnp.float32)
+            sc = jnp.ones((1, Ds), jnp.float32) * 0.1
+            fl_p = 2 * Ls * Ds * Ds
+            for rt in (None, 960, 1800, 3240, 5400, 8100, 16200):
+                if rt is not None and (Ls % rt or rt * Ds * 2 * 10 > 110 * 2**20):
+                    continue
+
+                def proj_step(a, wp=wp, bp=bp, sh=sh, sc=sc, rt=rt):
+                    return linear_adaln_residual_fused(a, wp, bp, a, sh, sc, row_tile=rt)
+
+                try:
+                    timed_loop(proj_step, xs, f"s{stage} proj rt={rt} (L={Ls},D={Ds})", fl_p, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} proj rt={rt}: FAIL {type(e).__name__}", flush=True)
+
     if "gelu" in variants:
         # In-kernel VPU cost of the exact-erf GELU: rerun the fused MLP kernel at
         # stage-0 shape with _gelu_exact swapped for identity / cheaper forms.
@@ -278,11 +464,12 @@ def main():
                 p7 = p7 * z2 + cc
             return 0.5 * h * (1.0 + z * p7)
 
+        mlp_mod._gelu_fast_probe = lambda h: 0.5 * h * (1.0 + mlp_mod._erf(h * 0.7071067811865476, accurate=False))
         for name, fn_gelu in (
             ("exact", mlp_mod._gelu_exact),
-            ("identity", lambda h: h),
-            ("tanh", lambda h: jax.nn.gelu(h, approximate=True)),
-            ("poly", poly_gelu),
+            ("identity", lambda h, **kw: h),
+            ("tanh", lambda h, **kw: jax.nn.gelu(h, approximate=True)),
+            ("fast", lambda h, **kw: mlp_mod._gelu_fast_probe(h)),
         ):
             orig = mlp_mod._gelu_exact
             mlp_mod._gelu_exact = fn_gelu
@@ -356,13 +543,14 @@ def main():
     if "no_attn" in variants:
         orig_wa = swin3d.window_attention_apply
 
-        def wa_skip(p, x, num_heads, groups, rollout_step, cfg):
+        def wa_skip(p, x, num_heads, groups, rollout_step, cfg, project=True):
             # keep qkv+proj GEMMs, drop the attention core
             Dd = x.shape[-1]
             from aurora_tpu.model.nn import linear
 
             qkv = linear(p["qkv"], x)
-            return linear(p["proj"], qkv[..., :Dd])
+            out = qkv[..., :Dd]
+            return linear(p["proj"], out) if project else out
 
         swin3d.window_attention_apply = wa_skip
         try:
