@@ -317,6 +317,120 @@ def main():
                 except Exception as e:
                     print(f"s{stage} attn mb={mb}: FAIL {type(e).__name__}: {str(e)[:80]}", flush=True)
 
+    if "rollfuse" in variants:
+        # In-situ comparison of the shifted-block layout chain:
+        #   pallas: roll3d_pallas -> XLA partition ... reverse -> roll3d_pallas
+        #   xla:    jnp.roll      -> XLA partition ... reverse -> jnp.roll
+        # The Pallas roll is a faster STANDALONE op, but it is opaque to XLA —
+        # jnp.roll can fuse into the partition transpose's copy loop.
+        from aurora_tpu.ops.roll import roll3d_pallas
+
+        ws = bb.window_size
+        sh = (ws[0] // 2, ws[1] // 2, ws[2] // 2)
+        x5 = jax.random.normal(jax.random.PRNGKey(4), (1, *patch_res, D), jnp.bfloat16)
+
+        def chain_pallas(xx):
+            y = roll3d_pallas(xx, (-sh[0], -sh[1], -sh[2]))
+            wdw = swin3d.window_partition(y, ws)
+            y = swin3d.window_reverse(wdw * jnp.bfloat16(0.999), ws, *patch_res)
+            return roll3d_pallas(y, sh)
+
+        def chain_xla(xx):
+            y = jnp.roll(xx, shift=(-sh[0], -sh[1], -sh[2]), axis=(1, 2, 3))
+            wdw = swin3d.window_partition(y, ws)
+            y = swin3d.window_reverse(wdw * jnp.bfloat16(0.999), ws, *patch_res)
+            return jnp.roll(y, shift=sh, axis=(1, 2, 3))
+
+        timed_loop(chain_pallas, x5, "shifted chain (pallas roll)", 0)
+        timed_loop(chain_xla, x5, "shifted chain (jnp.roll)", 0)
+
+    if "mlp_t" in variants:
+        # Transposed-internals fused MLP probe: load x (R, D), transpose once to
+        # (D, R); h^T = w1^T-contracted dot (M=H, K=D, N=R all wide); out^T via
+        # (M=D, K=H, N=R); LN reduces over the LEADING axis (sublanes — cheaper
+        # than lane reductions); transpose back before store. Tests whether the
+        # narrow-N fc2 cap is beaten by wide-N + 2 in-VMEM transposes.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        for stage, (Ds, Ls) in enumerate([(D, L), (2 * D, L // 4), (4 * D, L // 16)]):
+            if str(stage) not in args.stages.split(","):
+                continue
+            Hs = 4 * Ds
+            key_s = jax.random.PRNGKey(10 + stage)
+            xs = jax.random.normal(key_s, (Ls, Ds), jnp.bfloat16)
+            w1 = (jax.random.normal(key_s, (Ds, Hs), jnp.float32) * 0.02).astype(jnp.bfloat16)
+            b1 = jnp.zeros((Hs, 1), jnp.float32)
+            w2 = (jax.random.normal(key_s, (Hs, Ds), jnp.float32) * 0.02).astype(jnp.bfloat16)
+            b2 = jnp.zeros((Ds, 1), jnp.float32)
+            sh = jnp.zeros((Ds, 1), jnp.float32)
+            sc = jnp.ones((Ds, 1), jnp.float32) * 0.1
+            fl_m = 4 * Ls * Ds * Hs
+
+            for R in (1800, 3600, 5400):
+                if Ls % R:
+                    continue
+                vmem = (Ds * Hs * 2 * 2 + R * Ds * 2 * 4 + R * Ds * 4 + R * Hs * 4)
+                if vmem > 110 * 2**20:
+                    continue
+
+                def make_mlp_t(R=R, Ds=Ds, Hs=Hs):
+                    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, sh_ref, sc_ref, out_ref):
+                        xt = x_ref[...]  # (R, D)
+                        xT = xt.T  # (D, R) in-VMEM transpose
+                        hT = jax.lax.dot_general(
+                            w1_ref[...], xT,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) + b1_ref[...]  # (H, R)
+                        from aurora_tpu.ops.mlp import _gelu_exact
+                        hT = _gelu_exact(
+                            hT.astype(xt.dtype).astype(jnp.float32), accurate=False
+                        ).astype(xt.dtype)
+                        accT = jax.lax.dot_general(
+                            w2_ref[...], hT,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (D, R)
+                        yT = (accT + b2_ref[...]).astype(xt.dtype)
+                        yf = yT.astype(jnp.float32)
+                        mean = jnp.mean(yf, axis=0, keepdims=True)
+                        var = jnp.mean(jnp.square(yf - mean), axis=0, keepdims=True)
+                        ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+                        mod = ln * sc_ref[...] + sh_ref[...]
+                        outT = (xT.astype(jnp.float32) + mod).astype(out_ref.dtype)
+                        out_ref[...] = outT.T
+
+                    def run(a):
+                        return pl.pallas_call(
+                            kernel,
+                            grid=(Ls // R,),
+                            in_specs=[
+                                pl.BlockSpec((R, Ds), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Ds, Hs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Hs, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Hs, Ds), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Ds, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Ds, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                                pl.BlockSpec((Ds, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                            ],
+                            out_specs=pl.BlockSpec((R, Ds), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                            out_shape=jax.ShapeDtypeStruct((Ls, Ds), a.dtype),
+                            cost_estimate=pl.CostEstimate(
+                                flops=4 * Ls * Ds * Hs,
+                                bytes_accessed=2 * Ls * Ds * 2 + 2 * Ds * Hs * 2,
+                                transcendentals=Ls * Hs,
+                            ),
+                            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+                        )(a, w1, b1, w2, b2, sh, sc)
+
+                    return run
+
+                try:
+                    timed_loop(make_mlp_t(), xs, f"s{stage} mlp_t R={R} (L={Ls},D={Ds})", fl_m, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} mlp_t R={R}: FAIL {type(e).__name__}: {str(e)[:90]}", flush=True)
+
     if "attn_probe" in variants:
         # What inside the qkv-fused attention kernel costs the time? Timing-only
         # kernel variants (some numerically WRONG by construction) at stage-0 shape.
