@@ -66,6 +66,13 @@ class AuroraConfig:
     # reference's decoder stays f32 even under autocast (aurora.py:327-343), so this
     # is off by default and off in all parity configurations.
     deagg_bf16: bool = False
+    # Run the encoder's level aggregation cross-attention in bfloat16 (production
+    # throughput mode, same contract as deagg_bf16). Its output feeds the backbone,
+    # which immediately rounds to bf16 under autocast anyway, so the extra error is
+    # one rounding of the perceiver stack (~1e-3 rel). Rejected in round 1 on the
+    # old per-column structure (no speedup); the k-major shared-query core + fused
+    # MLP tail made it profitable. Off by default and in all parity configurations.
+    agg_bf16: bool = False
     surf_stats: tuple[tuple[str, tuple[float, float]], ...] = ()
     density_channel_surf_vars: tuple[str, ...] = ()
     angle_surf_vars: tuple[str, ...] = ()

@@ -123,6 +123,13 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     the (B·L, C_A, D) kv tensors at 0.25° would otherwise dominate memory.
     """
     B, C_A, L, D = x.shape
+    dtype = x.dtype
+    if cfg.agg_bf16 and dtype == jnp.float32:
+        # Production throughput mode (see AuroraConfig.agg_bf16): the aggregated
+        # latents are rounded to bf16 by the autocast backbone immediately after,
+        # so running the aggregation itself in bf16 adds one rounding of the
+        # perceiver stack (~1e-3 rel).
+        x = x.astype(jnp.bfloat16)
     latents = p["atmos_latents"].astype(x.dtype)  # (C_l, D)
     C_l = latents.shape[0]
     # Keep the level axis major: transposing (C_A, L) with tiny C_A runs far below
@@ -141,7 +148,7 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
         k_major=True,
         fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
     )
-    return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3).astype(dtype)
 
 
 def encoder_apply(

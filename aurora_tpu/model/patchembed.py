@@ -72,14 +72,16 @@ def level_patch_embed_apply(
 
     xr = x.reshape(B, V * T, H // P, P, W)
     xr = xr.transpose(0, 2, 1, 3, 4).reshape(B * (H // P), V * T * P, W)
+    # Output spec NHC: channels-minor, so the (B, L, D) token layout falls out as
+    # a free reshape. The NCH output form needs a real minor-dim transpose of the
+    # f32 token tensor afterwards (~1.7 GB at 0.25 deg for the 13-level atmos
+    # embed — the dominant cost of the old path, tools/encoder_breakdown.py).
     out = jax.lax.conv_general_dilated(
         xr,
         kernel.astype(x.dtype),
         window_strides=(P,),
         padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (B*H/P, D, W/P)
-    D = out.shape[1]
-    out = out.reshape(B, H // P, D, W // P).transpose(0, 1, 3, 2)
-    out = out.reshape(B, (H // P) * (W // P), D)
+        dimension_numbers=("NCH", "OIH", "NHC"),
+    )  # (B*H/P, W/P, D)
+    out = out.reshape(B, (H // P) * (W // P), -1)
     return out + p["bias"].astype(x.dtype)

@@ -67,7 +67,9 @@ def bench_jax(steps=3):
     from aurora_tpu.model.aurora import Aurora, init_params
     from aurora_tpu.model.config import LARGE_CONFIG
 
-    cfg = LARGE_CONFIG.replace(autocast=True, agg_chunk_size=8192, deagg_bf16=True)
+    cfg = LARGE_CONFIG.replace(
+        autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True
+    )
     model = Aurora(cfg)
     log("initialising 1.3B params ...")
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)

@@ -41,6 +41,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from aurora_tpu.model import swin3d

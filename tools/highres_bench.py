@@ -19,13 +19,23 @@ import numpy as np
 
 def main():
     import jax
+
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from aurora_tpu.batch import Batch, Metadata
     from aurora_tpu.model.aurora import Aurora, forward_core, init_params
     from aurora_tpu.model.config import HIGHRES_CONFIG
 
-    cfg = HIGHRES_CONFIG.replace(autocast=True, agg_chunk_size=8192, use_lora=False)
+    cfg = HIGHRES_CONFIG.replace(
+        autocast=True, agg_chunk_size=8192, use_lora=False, deagg_bf16=True, agg_bf16=True
+    )
     levels = (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)
     H, W = 1801, 3600
     rng = np.random.default_rng(0)

@@ -41,18 +41,36 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", flush=True)
 
+    ITERS = 8  # in-jit repetitions: amortise the ~30 ms tunnel round-trip
+
     def timed(fn, make_args, label, flops, bytes_moved):
-        out = fn(*make_args(0))
+        """Time jit(fori_loop(ITERS, fn)) per iteration (tunnel-RTT-free)."""
+        import jax.numpy as jnp
+
+        w, x0 = make_args(0)
+
+        def body(_, xx):
+            y = fn(w, xx)
+            # Feed a same-shaped perturbation of the input back so iterations chain.
+            leaf = jax.tree_util.tree_leaves(y)[0]
+            probe = leaf.reshape(-1)[0].astype(xx.dtype)
+            return xx * jnp.asarray(1.0, xx.dtype) + probe * jnp.asarray(1e-30, xx.dtype)
+
+        g = jax.jit(lambda xx: fn(w, jax.lax.fori_loop(0, ITERS - 1, body, xx)))
+        out = g(x0)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(leaf[(0,) * leaf.ndim])
+        # Fresh argument buffer each call (the tunnelled runtime dedupes identical
+        # dispatches); the perturbation must not underflow the dtype.
+        eps = 1e-30 if x0.dtype == jnp.float32 else 1e-2
         times = []
         for i in range(args.steps):
             t0 = time.time()
-            out = fn(*make_args(i + 1))
+            out = g(x0 + jnp.asarray((i + 1) * eps, x0.dtype))
             leaf = jax.tree_util.tree_leaves(out)[0]
             float(leaf[(0,) * leaf.ndim])
             times.append(time.time() - t0)
-        t = min(times)
+        t = min(times) / ITERS
         r = roofline(flops, bytes_moved, dev)
         print(
             f"{label}: {t*1e3:7.2f} ms | floor {r['floor_s']*1e3:7.2f} ms "

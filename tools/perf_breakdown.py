@@ -26,6 +26,14 @@ def timeit(fn, make_args, steps=5, warmup=2):
     buffer (``make_args(i)``) and syncs by fetching one scalar from the output."""
     import jax
 
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     def sync(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return float(leaf[(0,) * leaf.ndim])
@@ -61,8 +69,10 @@ def main():
     from aurora_tpu.model import decoder as dec_mod
     from aurora_tpu.model import swin3d
 
+    # Production serving config — matches bench.py (autocast backbone + bf16
+    # level agg/de-agg modes).
     cfg = (SMALL_CONFIG if args.small else LARGE_CONFIG).replace(
-        autocast=True, agg_chunk_size=8192
+        autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True
     )
     levels = (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)
     H, W = args.H, args.W
