@@ -749,17 +749,27 @@ def patch_merge_apply(p, x: jax.Array, res: tuple[int, int, int]) -> jax.Array:
     """2×2 spatial merge over (H, W): ``(B, C, H, W, D) -> (B, C, H/2, W/2, 2D)``.
 
     Odd H/W are centre-padded first (reference: aurora/model/swin3d.py:526-555).
+
+    Layout note (single-chip): the naive form reshapes to ``(..., H2, 2, W2, 2, D)``
+    and transposes the two 2-wide offset axes next to D — every intermediate then
+    has a 2-wide second-minor dim that the (8, 128) tiling pads 4x (measured 10%
+    of roofline, tools/kernel_slate.py). Instead: merge the w-offset into the
+    feature dim with a CONTIGUOUS reshape (lanes only), transpose the h-offset
+    axis with D-sized minor blocks, and merge it with another free reshape. The
+    resulting (i, j, D) feature order is identical bit-for-bit.
     """
     C, H, W = res
     B, D = x.shape[0], x.shape[-1]
     assert x.shape[1:4] == (C, H, W)
     x = pad_3d(x, (0, H % 2, W % 2))
     H2, W2 = x.shape[2] // 2, x.shape[3] // 2
-    x = x.reshape(B, C, H2, 2, W2, 2, D)
-    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H2, W2, 2, 2, D)
     if mesh_active():
+        x = x.reshape(B, C, H2, 2, W2, 2, D)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H2, W2, 2, 2, D)
         x = x.reshape(B, C, H2, W2, 4 * D)
         return linear(p["reduction"], layernorm(p["norm"], x))
+    x = x.reshape(B, C, H2, 2, W2, 2 * D)  # (w, j) pairs fused into lanes
+    x = x.transpose(0, 1, 2, 4, 3, 5)  # (B, C, H2, W2, 2, 2D): minor stays >= D
     x = x.reshape(B * C * H2 * W2, 4 * D)  # flat GEMM (single-chip fast path)
     x = linear(p["reduction"], layernorm(p["norm"], x))
     return x.reshape(B, C, H2, W2, 2 * D)
@@ -785,11 +795,18 @@ def patch_split_apply(
     on_mesh = mesh_active()
     if on_mesh:
         x = linear(p["lin1"], x)  # (B, C, H, W, 2D)
+        x = x.reshape(B, C, H, W, 2, 2, D // 2)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H, 2, W, 2, D/2)
+        x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
     else:
+        # Single chip: keep every intermediate's minor dim >= D/2 (the naive
+        # pixel shuffle's 2-wide second-minor axes pad 4x — see patch_merge_apply
+        # and tools/kernel_slate.py). The h-offset axis is transposed with
+        # D-sized minor blocks; the w-offset merges via contiguous reshapes.
         x = linear(p["lin1"], x.reshape(B * C * H * W, D)).reshape(B, C, H, W, 2 * D)
-    x = x.reshape(B, C, H, W, 2, 2, D // 2)
-    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, C, H, 2, W, 2, D/2)
-    x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
+        x = x.reshape(B, C, H, W, 2, D)  # feature (i, (j, D/2)); i split out
+        x = x.transpose(0, 1, 2, 4, 3, 5)  # (B, C, H, 2, W, D)
+        x = x.reshape(B, C, 2 * H, 2 * W, D // 2)
     x = crop_3d(x, crop)
     if on_mesh:
         return linear(p["lin2"], layernorm(p["norm"], x))

@@ -325,6 +325,50 @@ def main():
                 except Exception as e:
                     print(f"s{stage} attn mb={mb}: FAIL {type(e).__name__}: {str(e)[:80]}", flush=True)
 
+    if "ln_probe" in variants:
+        # Is the f32 two-pass LN (lane reductions) a real cost inside the fused
+        # MLP kernel? Compare against a stats-skipped variant (TIMING ONLY).
+        from aurora_tpu.ops import mlp as mlp_mod
+
+        Ds, Ls, Hs = D, L, 4 * D
+        key_s = jax.random.PRNGKey(10)
+        xs = jax.random.normal(key_s, (1, Ls, Ds), jnp.bfloat16)
+        w1 = jax.random.normal(key_s, (Ds, Hs), jnp.float32) * 0.02
+        b1 = jnp.zeros((Hs,), jnp.float32)
+        w2 = jax.random.normal(key_s, (Hs, Ds), jnp.float32) * 0.02
+        b2 = jnp.zeros((Ds,), jnp.float32)
+        sh = jnp.zeros((1, Ds), jnp.float32)
+        sc = jnp.ones((1, Ds), jnp.float32) * 0.1
+        fl_m = 4 * Ls * Ds * Hs
+
+        import jax.numpy as _jnp
+
+        orig_mean = _jnp.mean
+
+        def mlp_step(a):
+            return mlp_mod.mlp_adaln_residual_fused(a, w1, b1, w2, b2, sh, sc)
+
+        timed_loop(mlp_step, xs, "s0 mlp ln=full", fl_m, unit="tf")
+
+        # monkeypatch: make LN stats constants (skips both reductions + rsqrt)
+        import aurora_tpu.ops.mlp as _m
+        src_fn = _m.mlp_adaln_residual_fused
+
+        def patched(*a, **kw):
+            return src_fn(*a, **kw)
+
+        # crude: patch jnp.mean used inside the kernel body via module global
+        _m_jnp_mean = _m.jnp.mean
+        _m.jnp = type(_m.jnp)("jnp_shim") if False else _m.jnp
+        try:
+            real_mean = _m.jnp.mean
+            _m.jnp.mean = lambda x, axis=None, keepdims=False: (
+                x[..., :1] * 0.0 if keepdims else x[..., 0] * 0.0
+            )
+            timed_loop(mlp_step, xs, "s0 mlp ln=skipped", fl_m, unit="tf")
+        finally:
+            _m.jnp.mean = real_mean
+
     if "rollfuse" in variants:
         # In-situ comparison of the shifted-block layout chain:
         #   pallas: roll3d_pallas -> XLA partition ... reverse -> roll3d_pallas
