@@ -65,6 +65,27 @@ _ATTN_VMEM_MB = int(os.environ.get("AURORA_ATTN_VMEM_MB", "8"))
 _VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
 
 
+_ATTN5D_VMEM_MB = int(os.environ.get("AURORA_ATTN5D_VMEM_MB", "64"))
+
+
+def _pick_window_row_batch(W1: int, ws2: int, per_window: int, budget_mb: int | None) -> int:
+    """Windows per block row for the 5D direct-window kernel.
+
+    Mosaic requires the block's second-minor dim (KW·ws2) to be divisible by 8 or
+    equal to the full array dim (KW == W1), on top of KW | W1. Whole rows measured
+    fastest (tools/backbone_ablate.py --variants attn5d), so the budget is generous
+    (64 MB default) and the largest fitting candidate wins; if nothing fits, the
+    smallest legal candidate is used and the vmem_limit backstop still applies.
+    """
+    budget = (budget_mb or _ATTN5D_VMEM_MB) * 1024 * 1024
+    cands = [
+        c for c in range(1, W1 + 1)
+        if W1 % c == 0 and (c == W1 or (c * ws2) % 8 == 0)
+    ]
+    fit = [c for c in cands if c * per_window <= budget]
+    return max(fit) if fit else min(cands)
+
+
 def _pick_window_batch(nW: int, per_window: int, budget_mb: int | None) -> int:
     budget = max(1, ((budget_mb or _ATTN_VMEM_MB) * 1024 * 1024) // per_window)
     for cand in range(min(nW, budget), 0, -1):
@@ -220,6 +241,8 @@ def window_attention_apply(
     impl = cfg.attention_impl
     if impl == "auto":
         impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+    if impl == "pallas_windowed":
+        impl = "pallas"  # A/B escape hatch: the pre-5D windowed kernel path
 
     if impl == "pallas" and "lora_qkv" not in p:
         # QKV projection fused into the attention kernel: the (M, 3D) qkv tensor
@@ -511,6 +534,180 @@ def _attn_windows_qkv_fused_pallas(
     )(*inputs)
 
 
+def _attn_windows_5d_fused_pallas(
+    xp, wqkv, bqkv, num_heads, groups, ws, interpret: bool = False,
+    budget_mb: int | None = None, tail=None, ln_eps: float = 1e-5,
+):
+    """QKV-fused window attention reading windows DIRECTLY from the padded 5D
+    token tensor: ``(B, Cp, Hp, Wp, D) -> (B, Cp, Hp, Wp, D)``.
+
+    One BlockSpec block is a ``(ws0, ws1, KW·ws2)`` row of KW whole windows —
+    window partition becomes pure block addressing, so the XLA partition/reverse
+    relayouts (2 full-tensor HBM round-trips per block, ~75 ms/step at 0.25°)
+    disappear. The (split Wp → (KW, ws2), move KW leading) gather and its inverse
+    scatter run in VMEM, whose bandwidth is ~20x HBM's; measured at stage 0 the
+    whole chain drops 13.3 → 8.0 ms (tools/backbone_ablate.py --variants attn5d).
+    Numerics are identical to ``window_partition -> _attn_windows_qkv_fused_pallas
+    -> window_reverse``: the per-window token order inside the kernel is exactly
+    the (wc, wh, ww) partition order, so masks, softmax and the optional fused
+    tail (proj/AdaLN/residual, see _attn_windows_qkv_fused_pallas) see the same
+    rows in the same order.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Cp, Hp, Wp, D = xp.shape
+    C1, H1, W1 = Cp // ws[0], Hp // ws[1], Wp // ws[2]
+    N = ws[0] * ws[1] * ws[2]
+    nW = C1 * H1 * W1
+    h = num_heads
+    dh = D // h
+    masked = groups is not None
+    scale = 1.0 / math.sqrt(dh)
+
+    wqkv = wqkv.astype(xp.dtype)
+    bqkv = bqkv.astype(xp.dtype).reshape(1, 3 * D)
+    if tail is not None:
+        wproj, bproj, t_shift, t_scale = tail
+        wproj = wproj.astype(xp.dtype)
+        bproj = bproj.astype(jnp.float32).reshape(1, D)
+        t_shift = t_shift.astype(jnp.float32)
+        t_scale = t_scale.astype(jnp.float32)
+
+    # VMEM per window: tokens in/out, the f32 qkv GEMM result + its rounded copy,
+    # the (N, N) bias + f32 logits. KW must divide the W1 windows of a block row.
+    per_window = (
+        N * D * xp.dtype.itemsize * 2
+        + N * 3 * D * (4 + xp.dtype.itemsize)
+        + N * N * 8
+    )
+    KW = _pick_window_row_batch(W1, ws[2], per_window, budget_mb)
+    Wb = KW * ws[2]
+    W1b = W1 // KW
+
+    def kernel(*args):
+        if masked:
+            b_ref, x_ref, w_ref, bias_ref, *rest = args
+        else:
+            x_ref, w_ref, bias_ref, *rest = args
+        out_ref = rest[-1]
+        blk = x_ref[0]  # (ws0, ws1, Wb, D)
+        xt = (
+            blk.reshape(ws[0], ws[1], KW, ws[2], D)
+            .transpose(2, 0, 1, 3, 4)
+            .reshape(KW * N, D)
+        )
+        qkv = jax.lax.dot_general(
+            xt, w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xt.dtype) + bias_ref[...]
+        x = qkv.reshape(KW, N, 3 * D)
+        outs = []
+        for hh in range(h):
+            q = x[..., hh * dh : (hh + 1) * dh]
+            k = x[..., D + hh * dh : D + (hh + 1) * dh]
+            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
+            logits = (
+                jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            if masked:
+                logits = logits + b_ref[...]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    w, v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+            )
+        attn = jnp.concatenate(outs, axis=-1)  # (KW, N, D)
+        if tail is None:
+            o = attn
+        else:
+            wp_ref, bp_ref, sh_ref, sc_ref = rest[:4]
+            y = (
+                jax.lax.dot_general(
+                    attn.reshape(KW * N, D), wp_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bp_ref[...]
+            ).astype(xt.dtype)  # round like the unfused path
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+            ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+            mod = ln * sc_ref[...] + sh_ref[...]
+            o = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype).reshape(KW, N, D)
+        out_ref[0] = (
+            o.reshape(KW, ws[0], ws[1], ws[2], D)
+            .transpose(1, 2, 0, 3, 4)
+            .reshape(ws[0], ws[1], Wb, D)
+        )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, ws[0], ws[1], Wb, D),
+            lambda b, c, hh, ww: (b, c, hh, ww, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((D, 3 * D), lambda b, c, hh, ww: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * D), lambda b, c, hh, ww: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [xp, wqkv, bqkv]
+    if tail is not None:
+        in_specs += [
+            pl.BlockSpec((D, D), lambda b, c, hh, ww: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, c, hh, ww: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, c, hh, ww: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b, c, hh, ww: (b, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [wproj, bproj, t_shift, t_scale]
+    if masked:
+        # Window flat id = (c·H1 + h)·W1 + w·KW; in units of KW-blocks that is
+        # (c·H1 + h)·(W1/KW) + w — matching the partition/group-id window order.
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (KW, N, N),
+                lambda b, c, hh, ww: ((c * H1 + hh) * W1b + ww, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+
+    proj_flops = 2 * B * nW * N * D * D if tail is not None else 0
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C1, H1, W1b),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, ws[0], ws[1], Wb, D),
+            lambda b, c, hh, ww: (b, c, hh, ww, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nW * N * D * 3 * D
+            + 2 * 2 * B * nW * h * N * N * dh
+            + proj_flops,
+            bytes_accessed=2 * B * nW * N * D * xp.dtype.itemsize
+            + 3 * D * D * xp.dtype.itemsize,
+            transcendentals=B * nW * h * N * N,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
 def _sdpa_windows_pallas(q, k, v, groups):
     """Pallas TPU kernel: masked SDPA over windows, one (window-block, head) grid step.
 
@@ -670,7 +867,9 @@ def swin_block_apply(
     # rows flow through proj/LN too, but every op is per-token and they are
     # cropped right after.
     tail_in_kernel = (
-        fuse_attn_tail and aimpl == "pallas" and "lora_qkv" not in p["attn"]
+        fuse_attn_tail
+        and aimpl in ("pallas", "pallas_windowed")
+        and "lora_qkv" not in p["attn"]
     )
 
     tail = None
@@ -683,12 +882,33 @@ def swin_block_apply(
                 shift1, scale1,
             )
 
-    windows = window_partition(xp, ws)  # (B, C1, H1, W1, N, D)
-    attn = window_attention_apply(
-        p["attn"], windows, num_heads, groups, rollout_step, cfg,
-        project=not fuse_attn_tail, tail=tail,
-    )
-    xp = window_reverse(attn, ws, Cp, Hp, Wp)
+    if aimpl == "pallas" and "lora_qkv" not in p["attn"]:
+        # Fast path: windows are read straight out of the 5D tensor by the kernel's
+        # BlockSpecs — no partition/reverse relayouts (~75 ms/step at 0.25°; see
+        # _attn_windows_5d_fused_pallas). With ``tail`` the output is post-residual.
+        xp = _attn_windows_5d_fused_pallas(
+            xp, p["attn"]["qkv"]["weight"], p["attn"]["qkv"]["bias"],
+            num_heads, groups, ws, tail=tail,
+        )
+        if not fuse_attn_tail:
+            # proj is per-token: it commutes with window-reverse/crop/roll, so
+            # applying it here matches the windowed path exactly.
+            flat = xp.reshape(-1, xp.shape[-1])
+            out = linear(p["attn"]["proj"], flat)
+            if "lora_proj" in p["attn"]:
+                out = out + lora_apply(
+                    p["attn"]["lora_proj"], flat, rollout_step,
+                    r=cfg.lora_r, alpha=cfg.lora_alpha,
+                    max_steps=cfg.lora_steps, mode=cfg.lora_mode,
+                )
+            xp = out.reshape(xp.shape)
+    else:
+        windows = window_partition(xp, ws)  # (B, C1, H1, W1, N, D)
+        attn = window_attention_apply(
+            p["attn"], windows, num_heads, groups, rollout_step, cfg,
+            project=not fuse_attn_tail, tail=tail,
+        )
+        xp = window_reverse(attn, ws, Cp, Hp, Wp)
     x = crop_3d(xp, pad)
 
     if shifted:

@@ -134,6 +134,83 @@ def test_attn_tail_fused_matches_xla(num_heads, masked):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("num_heads", [2, 4])
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("with_tail", [False, True])
+def test_attn_5d_direct_matches_windowed_kernel(num_heads, masked, with_tail):
+    """5D direct-window kernel == window_partition -> qkv-fused kernel -> reverse.
+
+    The 5D kernel reads windows straight from the padded (B, Cp, Hp, Wp, D) token
+    tensor via BlockSpecs (in-kernel gather/scatter); this asserts the exact
+    production equivalence it replaces, for masked shifted windows on a padded
+    grid and for the in-kernel block tail.
+    """
+    from aurora_tpu.model.swin3d import (
+        _attn_windows_5d_fused_pallas,
+        _attn_windows_qkv_fused_pallas,
+        window_partition,
+        window_reverse,
+    )
+
+    ws, ss = (2, 3, 4), (0, 1, 2)
+    C, H, W = 4, 7, 10
+    groups = window_group_ids(C, H, W, ws, ss) if masked else None
+    Cp, Hp, Wp = 4, 9, 12  # padded grid (multiple windows along each axis)
+    nW = (Cp // ws[0]) * (Hp // ws[1]) * (Wp // ws[2])
+    N = ws[0] * ws[1] * ws[2]
+
+    B, D = 2, 8 * num_heads
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    x5 = jax.random.normal(ks[0], (B, Cp, Hp, Wp, D), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.05
+    bqkv = jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.02
+    tail = None
+    if with_tail:
+        wproj = jax.random.normal(ks[3], (D, D), jnp.float32) * 0.05
+        bproj = jax.random.normal(ks[4], (D,), jnp.float32) * 0.02
+        shift = jax.random.normal(ks[5], (B, D), jnp.float32)
+        scale = jax.random.normal(ks[6], (B, D), jnp.float32) * 0.3
+        tail = (wproj, bproj, shift, scale)
+
+    got = _attn_windows_5d_fused_pallas(
+        x5, wqkv, bqkv, num_heads, groups, ws, interpret=True, tail=tail
+    )
+    wdw = window_partition(x5, ws)
+    ref = _attn_windows_qkv_fused_pallas(
+        wdw.reshape(B, nW, N, D), wqkv, bqkv, num_heads, groups,
+        interpret=True, tail=tail,
+    )
+    want = window_reverse(ref.reshape(wdw.shape), ws, Cp, Hp, Wp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("kw", [1, 2])
+def test_attn_5d_direct_window_batching(masked, kw, monkeypatch):
+    """KW < W1 (several grid steps per block row) gives results identical to
+    KW == W1, and the mask block indexing stays aligned with the window order."""
+    import aurora_tpu.model.swin3d as swin3d_mod
+    from aurora_tpu.model.swin3d import _attn_windows_5d_fused_pallas
+
+    ws, ss = (2, 3, 4), (1, 1, 2)
+    Cp, Hp, Wp = 2, 6, 16  # W1 = 4 windows along W
+    groups = window_group_ids(Cp, Hp, Wp, ws, ss) if masked else None
+    B, D, num_heads = 1, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    x5 = jax.random.normal(ks[0], (B, Cp, Hp, Wp, D), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.05
+    bqkv = jax.random.normal(ks[2], (3 * D,), jnp.float32) * 0.02
+
+    full = _attn_windows_5d_fused_pallas(
+        x5, wqkv, bqkv, num_heads, groups, ws, interpret=True
+    )
+    monkeypatch.setattr(swin3d_mod, "_pick_window_row_batch", lambda W1, ws2, pw, b: kw)
+    small = _attn_windows_5d_fused_pallas(
+        x5, wqkv, bqkv, num_heads, groups, ws, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(small), atol=1e-6, rtol=1e-6)
+
+
 def test_fused_window_sdpa_padding_tokens_isolated():
     """Padding tokens must not leak into real tokens' outputs.
 

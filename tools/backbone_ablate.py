@@ -706,6 +706,156 @@ def main():
                 except Exception as e:
                     print(f"s{stage} mlp rt={rt} ht={ht}: FAIL {type(e).__name__}", flush=True)
 
+    if "attn5d_check" in variants:
+        # Full-backbone A/B on real hardware: the 5D direct-window kernel path vs
+        # the pre-5D windowed kernel path ("pallas_windowed"). Reports max|Δ| (the
+        # two paths compute identical math; any drift means a Mosaic miscompile)
+        # and the end-to-end times.
+        bb5 = dataclasses_replace(bb, attention_impl="pallas")
+        bbw = dataclasses_replace(bb, attention_impl="pallas_windowed")
+        f5, fw = make_fn(bb5), make_fn(bbw)
+        step = jnp.asarray(0, jnp.int32)
+        o5 = np.asarray(f5(params, x0, step), dtype=np.float32)
+        ow = np.asarray(fw(params, x0, step), dtype=np.float32)
+        d = np.max(np.abs(o5 - ow))
+        r = d / (np.max(np.abs(ow)) + 1e-30)
+        print(f"attn5d_check: max|delta| = {d:.3e} (rel {r:.3e})", flush=True)
+        timed_run(f5, "backbone attention_impl=pallas (5d direct)")
+        timed_run(fw, "backbone attention_impl=pallas_windowed")
+
+    if "attn5d" in variants:
+        # Can the attention kernel read windows DIRECTLY from the 5D token tensor
+        # (one BlockSpec block = a (ws0, ws1, Wp) row of windows), erasing the
+        # partition/reverse HBM relayouts entirely? The in-kernel gather/scatter is
+        # a VMEM relayout (split Wp -> (W1, ws2), move W1 leading) — VMEM bandwidth
+        # is ~20x HBM, so this wins iff Mosaic emits sane code for it. Timing-only
+        # (unmasked) comparison per stage:
+        #   chain : partition -> qkv-fused kernel -> reverse   [production today]
+        #   direct: 5D-window kernel (in-kernel relayout)
+        import math as _math
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        ws = bb.window_size
+        N = ws[0] * ws[1] * ws[2]
+        for stage, (Ds, heads, res) in enumerate(
+            [
+                (D, bb.encoder_num_heads[0], patch_res),
+                (2 * D, bb.encoder_num_heads[1], (patch_res[0], patch_res[1] // 2, patch_res[2] // 2)),
+                (4 * D, bb.encoder_num_heads[2], (patch_res[0], patch_res[1] // 4, patch_res[2] // 4)),
+            ]
+        ):
+            if str(stage) not in args.stages.split(","):
+                continue
+            C, H, W = res
+            Cp, Hp, Wp = C + (-C) % ws[0], H + (-H) % ws[1], W + (-W) % ws[2]
+            C1, H1, W1 = Cp // ws[0], Hp // ws[1], Wp // ws[2]
+            nW = C1 * H1 * W1
+            dh = Ds // heads
+            scale = 1.0 / _math.sqrt(dh)
+            x5 = jax.random.normal(jax.random.PRNGKey(7 + stage), (1, Cp, Hp, Wp, Ds), jnp.bfloat16)
+            wq = jax.random.normal(jax.random.PRNGKey(8 + stage), (Ds, 3 * Ds), jnp.bfloat16) * 0.02
+            bq = jnp.zeros((3 * Ds,), jnp.bfloat16)
+            fl = 2 * nW * N * Ds * 3 * Ds + 4 * nW * N * N * Ds
+
+            def chain(xx, Ds=Ds, heads=heads, nW=nW, Cp=Cp, Hp=Hp, Wp=Wp, C1=C1, H1=H1, W1=W1):
+                wdw = swin3d.window_partition(xx, ws)
+                o = swin3d._attn_windows_qkv_fused_pallas(
+                    wdw.reshape(1, nW, N, Ds), wq, bq, heads, None
+                )
+                return swin3d.window_reverse(o.reshape(1, C1, H1, W1, N, Ds), ws, Cp, Hp, Wp)
+
+            timed_loop(chain, x5, f"s{stage} chain part+qkvattn+rev (nW={nW})", fl, unit="tf")
+
+            def make_direct(mode, Ds=Ds, heads=heads, dh=dh, scale=scale, Cp=Cp, Hp=Hp, Wp=Wp, C1=C1, H1=H1, W1=W1, wq=wq, bq=bq):
+                wqk = wq
+                bqk = bq.reshape(1, 3 * Ds)
+
+                def kernel(x_ref, w_ref, b_ref, out_ref):
+                    blk = x_ref[0]  # (ws0, ws1, Wp, Ds)
+                    if mode == "vec":
+                        xt = blk.reshape(ws[0], ws[1], W1, ws[2], Ds)
+                        xt = xt.transpose(2, 0, 1, 3, 4).reshape(W1 * N, Ds)
+                    else:
+                        xt = jnp.concatenate(
+                            [
+                                blk[:, :, j * ws[2] : (j + 1) * ws[2], :].reshape(N, Ds)
+                                for j in range(W1)
+                            ],
+                            axis=0,
+                        )
+                    qkv = (
+                        jax.lax.dot_general(
+                            xt, w_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(xt.dtype)
+                        + b_ref[...]
+                    )
+                    x = qkv.reshape(W1, N, 3 * Ds)
+                    outs = []
+                    for hh in range(heads):
+                        q = x[..., hh * dh : (hh + 1) * dh]
+                        k = x[..., Ds + hh * dh : Ds + (hh + 1) * dh]
+                        v = x[..., 2 * Ds + hh * dh : 2 * Ds + (hh + 1) * dh]
+                        logits = (
+                            jax.lax.dot_general(
+                                q, k,
+                                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            )
+                            * scale
+                        )
+                        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                        outs.append(
+                            jax.lax.dot_general(
+                                w, v,
+                                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            ).astype(x.dtype)
+                        )
+                    o = jnp.concatenate(outs, axis=-1)  # (W1, N, Ds)
+                    if mode == "vec":
+                        o5 = o.reshape(W1, ws[0], ws[1], ws[2], Ds)
+                        out_ref[0] = o5.transpose(1, 2, 0, 3, 4).reshape(ws[0], ws[1], Wp, Ds)
+                    else:
+                        o4 = o.reshape(W1, ws[0] * ws[1], ws[2], Ds)
+                        for j in range(W1):
+                            out_ref[0, :, :, j * ws[2] : (j + 1) * ws[2], :] = o4[j].reshape(
+                                ws[0], ws[1], ws[2], Ds
+                            )
+
+                def run(a):
+                    return pl.pallas_call(
+                        kernel,
+                        grid=(C1, H1),
+                        in_specs=[
+                            pl.BlockSpec(
+                                (1, ws[0], ws[1], Wp, Ds),
+                                lambda c, h: (0, c, h, 0, 0),
+                                memory_space=pltpu.VMEM,
+                            ),
+                            pl.BlockSpec((Ds, 3 * Ds), lambda c, h: (0, 0), memory_space=pltpu.VMEM),
+                            pl.BlockSpec((1, 3 * Ds), lambda c, h: (0, 0), memory_space=pltpu.VMEM),
+                        ],
+                        out_specs=pl.BlockSpec(
+                            (1, ws[0], ws[1], Wp, Ds),
+                            lambda c, h: (0, c, h, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+                        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+                    )(a, wqk, bqk)
+
+                return run
+
+            for mode in ("vec", "loop"):
+                try:
+                    timed_loop(make_direct(mode), x5, f"s{stage} direct5d {mode}", fl, unit="tf")
+                except Exception as e:
+                    print(f"s{stage} direct5d {mode}: FAIL {type(e).__name__}: {str(e)[:140]}", flush=True)
+
     if "no_attn" in variants:
         orig_wa = swin3d.window_attention_apply
 
