@@ -53,27 +53,33 @@ class Metadata:
     rollout_step: int = 0
 
     def __post_init__(self):
+        # Validate any CONCRETE data — host NumPy arrays and committed jax.Arrays
+        # alike (Batch.astype produces the latter; reference validates all inputs,
+        # aurora/batch.py:40-68). Tracers (inside jit/scan) are skipped: the pytree
+        # unflatten path bypasses __post_init__, and direct construction under a
+        # trace cannot be checked without host values.
+        if isinstance(self.lat, jax.core.Tracer) or isinstance(self.lon, jax.core.Tracer):
+            return
         lat, lon = np.asarray(self.lat), np.asarray(self.lon)
-        if isinstance(self.lat, np.ndarray):  # Only validate concrete host data.
-            if not (np.all(lat <= 90) and np.all(lat >= -90)):
-                raise ValueError("Latitudes must be in the range [-90, 90].")
-            if not (np.all(lon >= 0) and np.all(lon < 360)):
-                raise ValueError("Longitudes must be in the range [0, 360).")
-            if lat.ndim == lon.ndim == 1:
-                if not np.all(np.diff(lat) < 0):
-                    raise ValueError("Latitudes must be strictly decreasing.")
-                if not np.all(np.diff(lon) > 0):
-                    raise ValueError("Longitudes must be strictly increasing.")
-            elif lat.ndim == lon.ndim == 2:
-                if not np.all(lat[1:, :] - lat[:-1, :] <= 0):
-                    raise ValueError("Latitudes must be decreasing along every column.")
-                if not np.all(lon[:, 1:] - lon[:, :-1] > 0):
-                    raise ValueError("Longitudes must be strictly increasing along every row.")
-            else:
-                raise ValueError(
-                    "The latitudes and longitudes must either both be vectors or both be "
-                    "matrices."
-                )
+        if not (np.all(lat <= 90) and np.all(lat >= -90)):
+            raise ValueError("Latitudes must be in the range [-90, 90].")
+        if not (np.all(lon >= 0) and np.all(lon < 360)):
+            raise ValueError("Longitudes must be in the range [0, 360).")
+        if lat.ndim == lon.ndim == 1:
+            if not np.all(np.diff(lat) < 0):
+                raise ValueError("Latitudes must be strictly decreasing.")
+            if not np.all(np.diff(lon) > 0):
+                raise ValueError("Longitudes must be strictly increasing.")
+        elif lat.ndim == lon.ndim == 2:
+            if not np.all(lat[1:, :] - lat[:-1, :] <= 0):
+                raise ValueError("Latitudes must be decreasing along every column.")
+            if not np.all(lon[:, 1:] - lon[:, :-1] > 0):
+                raise ValueError("Longitudes must be strictly increasing along every row.")
+        else:
+            raise ValueError(
+                "The latitudes and longitudes must either both be vectors or both be "
+                "matrices."
+            )
 
 
 def _metadata_flatten(md: Metadata):

@@ -208,6 +208,7 @@ def forward_core(
     rollout_step: jax.Array,
     atmos_levels: tuple[float, ...],
     cfg: AuroraConfig,
+    rng=None,
 ):
     """The pure device-side forward pass.
 
@@ -219,6 +220,8 @@ def forward_core(
         rollout_step: Traced int32 scalar — the roll-out step of the *input* batch.
         atmos_levels: Static pressure levels (hPa).
         cfg: Static model config.
+        rng: Optional PRNG key enabling the training-only stochastic knobs
+            (``cfg.drop_path`` / ``cfg.drop_rate``). ``None`` = deterministic.
 
     Returns:
         ``(surf_preds, atmos_preds)`` — unnormalised predictions, each ``(B, H, W)`` /
@@ -270,10 +273,12 @@ def forward_core(
             rollout_step,
             patch_res,
             cfg.backbone,
+            rng=rng,
         ).astype(jnp.float32)
     else:
         x = backbone_apply(
-            params["backbone"], x, enc.lead_time, rollout_step, patch_res, cfg.backbone
+            params["backbone"], x, enc.lead_time, rollout_step, patch_res,
+            cfg.backbone, rng=rng,
         )
 
     # Decode. The decoder's variable set is the (possibly hook-supplemented) one.

@@ -53,6 +53,12 @@ class AuroraConfig:
     clamp_at_first_step: bool = False
     simulate_indexing_bug: bool = False
     remat: bool = False
+    # Training-only stochastic knobs (reference: aurora/model/aurora.py:71-72).
+    # ``drop_path``: stochastic-depth peak rate, ramped linearly over the backbone
+    # blocks; ``drop_rate``: dropout on the backbone proj/MLP linears. Active only
+    # when a PRNG key is passed to ``forward_core`` / the train step.
+    drop_path: float = 0.0
+    drop_rate: float = 0.0
     # "auto" = Pallas kernels on TPU, plain XLA elsewhere; "xla" forces the XLA path.
     attention_impl: str = "auto"
     mlp_impl: str = "auto"
@@ -120,6 +126,8 @@ class AuroraConfig:
             lora_steps=self.lora_steps,
             lora_mode=self.lora_mode,
             remat=self.remat,
+            drop_path=self.drop_path,
+            drop_rate=self.drop_rate,
             attention_impl=self.attention_impl,
             mlp_impl=self.mlp_impl,
         )

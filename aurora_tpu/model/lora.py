@@ -23,7 +23,7 @@ from aurora_tpu.model.nn import kaiming_uniform_init
 
 LoRAMode = Literal["single", "from_second", "all"]
 
-__all__ = ["LoRAMode", "lora_init", "lora_apply"]
+__all__ = ["LoRAMode", "lora_init", "lora_apply", "lora_weight_delta"]
 
 
 def lora_init(
@@ -72,3 +72,38 @@ def lora_apply(
     if mode == "from_second":
         active = jnp.logical_and(active, step > 0)
     return out * active.astype(x.dtype)
+
+
+def lora_weight_delta(
+    p,
+    step: jax.Array,
+    *,
+    r: int,
+    alpha: int,
+    max_steps: int,
+    mode: LoRAMode,
+):
+    """The LoRA correction as an effective-WEIGHT delta ``(d_in, d_out)``.
+
+    ``x @ (W + delta)`` == ``linear + lora_apply`` up to one float re-association —
+    used to fold LoRA into the fused Pallas kernels (which keep weights VMEM-resident
+    and cannot run a per-row rank-8 side path): the delta is a tiny
+    ``(d_in, r) @ (r, d_out)`` GEMM per block, ~0.1% of the block's FLOPs. Computed
+    in the parameter dtype (f32) so the fold is at least as accurate as the bf16
+    side-path of the unfused route.
+    """
+    scaling = alpha / r
+    if mode in ("single", "from_second"):
+        A, B = p["A"][0], p["B"][0]
+    elif mode == "all":
+        idx = jnp.clip(step, 0, p["A"].shape[0] - 1)
+        A = jnp.take(p["A"], idx, axis=0)
+        B = jnp.take(p["B"], idx, axis=0)
+    else:
+        raise ValueError(f"Invalid mode: {mode}")
+
+    delta = (A.T @ B) * scaling  # (d_in, d_out)
+    active = step < max_steps
+    if mode == "from_second":
+        active = jnp.logical_and(active, step > 0)
+    return delta * active.astype(delta.dtype)

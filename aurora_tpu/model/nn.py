@@ -139,6 +139,28 @@ def adaptive_layernorm(
     return layernorm(None, x) * (scale_bias + scale) + shift
 
 
+def dropout(x: jax.Array, rate: float, key: Optional[jax.Array]) -> jax.Array:
+    """Inverted dropout (torch ``nn.Dropout`` semantics). Identity when ``key`` is
+    ``None`` (inference) or ``rate == 0``."""
+    if key is None or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+def drop_path(x: jax.Array, rate: float, key: Optional[jax.Array]) -> jax.Array:
+    """Stochastic depth (timm ``DropPath``): drop the whole residual branch per batch
+    element with probability ``rate``, rescaling survivors by ``1/(1-rate)``.
+    Identity when ``key`` is ``None`` (inference) or ``rate == 0``.
+    Reference: aurora/model/swin3d.py:430,507-508."""
+    if key is None or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,

@@ -30,10 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aurora_tpu.model.lora import LoRAMode, lora_apply, lora_init
+from aurora_tpu.model.lora import LoRAMode, lora_apply, lora_init, lora_weight_delta
 from aurora_tpu.model.nn import (
     adaptive_layernorm,
     adaptive_layernorm_init,
+    drop_path,
+    dropout,
     layernorm,
     layernorm_init,
     linear,
@@ -68,14 +70,25 @@ _VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
 _ATTN5D_VMEM_MB = int(os.environ.get("AURORA_ATTN5D_VMEM_MB", "64"))
 
 
-def _pick_window_row_batch(W1: int, ws2: int, per_window: int, budget_mb: int | None) -> int:
-    """Windows per block row for the 5D direct-window kernel.
+def _force_interpret() -> bool:
+    """CI/test hook: run every Pallas kernel in interpret mode on any backend.
+
+    Lets the block-level routing (5D kernel, in-kernel tails, LoRA folding) run in CI
+    on CPU — not just the kernels in isolation.
+    """
+    return os.environ.get("AURORA_PALLAS_INTERPRET", "0") == "1"
+
+
+def _pick_window_row_batch(
+    W1: int, ws2: int, per_window: int, budget_mb: int | None
+) -> int | None:
+    """Windows per block row for the 5D direct-window kernel, or ``None`` if no legal
+    candidate fits the VMEM budget (callers fall back to the windowed kernel path).
 
     Mosaic requires the block's second-minor dim (KW·ws2) to be divisible by 8 or
     equal to the full array dim (KW == W1), on top of KW | W1. Whole rows measured
     fastest (tools/backbone_ablate.py --variants attn5d), so the budget is generous
-    (64 MB default) and the largest fitting candidate wins; if nothing fits, the
-    smallest legal candidate is used and the vmem_limit backstop still applies.
+    (64 MB default, AURORA_ATTN5D_VMEM_MB) and the largest fitting candidate wins.
     """
     budget = (budget_mb or _ATTN5D_VMEM_MB) * 1024 * 1024
     cands = [
@@ -83,7 +96,13 @@ def _pick_window_row_batch(W1: int, ws2: int, per_window: int, budget_mb: int | 
         if W1 % c == 0 and (c == W1 or (c * ws2) % 8 == 0)
     ]
     fit = [c for c in cands if c * per_window <= budget]
-    return max(fit) if fit else min(cands)
+    return max(fit) if fit else None
+
+
+def _attn5d_per_window(N: int, D: int, itemsize: int) -> int:
+    """VMEM bytes per window for the 5D direct-window kernel: tokens in/out, the f32
+    qkv GEMM result + its rounded copy, the (N, N) bias + f32 logits."""
+    return N * D * itemsize * 2 + N * 3 * D * (4 + itemsize) + N * N * 8
 
 
 def _pick_window_batch(nW: int, per_window: int, budget_mb: int | None) -> int:
@@ -109,6 +128,15 @@ class BackboneConfig:
     lora_r: int = 8
     lora_alpha: int = 8
     remat: bool = False
+    # Stochastic depth (training only; reference: aurora/model/swin3d.py:430,507-508
+    # and the linspace schedule at swin3d.py:813). The per-block rate ramps linearly
+    # from 0 to ``drop_path`` over the encoder blocks; decoder layers reuse the same
+    # ramp indexed by decoder depth, like the reference. Identity when no PRNG key is
+    # passed to ``backbone_apply`` (inference) or when 0.
+    drop_path: float = 0.0
+    # Dropout on the attention projection and both MLP linears (reference ``drop``,
+    # swin3d.py:375,423-424,437). Training only; identity without a key or at 0.
+    drop_rate: float = 0.0
     # "auto" = Pallas fused kernel on single-device TPU, plain XLA elsewhere.
     attention_impl: str = "auto"
     # "auto" = fused MLP+AdaLN+residual Pallas kernel on single-device TPU (saves
@@ -240,17 +268,27 @@ def window_attention_apply(
 
     impl = cfg.attention_impl
     if impl == "auto":
-        impl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+        kernel_ok = jax.default_backend() == "tpu" or _force_interpret()
+        impl = "pallas" if (kernel_ok and not on_mesh) else "xla"
     if impl == "pallas_windowed":
         impl = "pallas"  # A/B escape hatch: the pre-5D windowed kernel path
 
-    if impl == "pallas" and "lora_qkv" not in p:
+    if impl == "pallas":
         # QKV projection fused into the attention kernel: the (M, 3D) qkv tensor
         # never touches HBM (see _attn_windows_qkv_fused_pallas). With ``tail``
         # the whole block tail (proj/AdaLN/residual) runs in-kernel too and the
-        # result is the post-residual window tensor.
+        # result is the post-residual window tensor. LoRA is folded into the
+        # weight as its rank-r effective-weight delta (lora_weight_delta) —
+        # x @ (W + A^T B) == the unfused side path up to one f32 re-association.
+        wqkv = p["qkv"]["weight"]
+        if "lora_qkv" in p:
+            wqkv = wqkv + lora_weight_delta(
+                p["lora_qkv"], rollout_step,
+                r=cfg.lora_r, alpha=cfg.lora_alpha,
+                max_steps=cfg.lora_steps, mode=cfg.lora_mode,
+            )
         out = _attn_windows_qkv_fused_pallas(
-            x.reshape(B, nW, N, D), p["qkv"]["weight"], p["qkv"]["bias"],
+            x.reshape(B, nW, N, D), wqkv, p["qkv"]["bias"],
             num_heads, groups, tail=tail,
         ).reshape(B, C1, H1, W1, N, D)
         if tail is not None or not project:
@@ -297,6 +335,80 @@ def window_attention_apply(
     )
 
 
+def _heads_attention(x, bias, h: int, D: int):
+    """Per-head masked softmax attention over packed qkv window rows.
+
+    ``x``: ``(KW, N, 3D)`` with the feature dim packed as (q|k|v) × head × dh;
+    ``bias``: ``(KW, N, N)`` additive mask or ``None``. Returns ``(KW, N, D)``.
+    Shared by every fused attention kernel so the A/B escape-hatch variants cannot
+    drift numerically (single source for the logits/softmax/value chain).
+    """
+    dh = D // h
+    scale = 1.0 / math.sqrt(dh)
+    outs = []
+    for hh in range(h):
+        q = x[..., hh * dh : (hh + 1) * dh]
+        k = x[..., D + hh * dh : D + (hh + 1) * dh]
+        v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                w, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _qkv_attn_tail_body(
+    xt, w_ref, bias_ref, b_ref, rest, out_dtype, *, KW, N, D, h, ln_eps
+):
+    """Shared fused-kernel body: qkv GEMM → per-head attention → optional fused tail.
+
+    ``xt``: ``(KW·N, D)`` token rows in window-partition order; ``b_ref`` is the
+    ``(KW, N, N)`` mask bias ref or ``None``; ``rest`` holds the tail refs
+    ``(wproj, bproj, shift, scale, out)`` when the block tail is fused (len > 1).
+    Returns ``(KW, N, D)`` — post-residual when the tail is present. Both the
+    windowed and the 5D direct-window kernels call this, keeping only the
+    gather/scatter and BlockSpecs distinct (ADVICE r2: no silent drift).
+    """
+    qkv = jax.lax.dot_general(
+        xt, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xt.dtype) + bias_ref[...]
+    x = qkv.reshape(KW, N, 3 * D)
+    attn = _heads_attention(x, b_ref[...] if b_ref is not None else None, h, D)
+    if len(rest) <= 1:
+        return attn
+    wp_ref, bp_ref, sh_ref, sc_ref = rest[:4]
+    y = (
+        jax.lax.dot_general(
+            attn.reshape(KW * N, D), wp_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[...]
+    ).astype(xt.dtype)  # round like the unfused path
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+    mod = ln * sc_ref[...] + sh_ref[...]
+    return (xt.astype(jnp.float32) + mod).astype(out_dtype).reshape(KW, N, D)
+
+
 def _sdpa_windows_fused_pallas(
     windows, num_heads, groups, interpret: bool = False, budget_mb: int | None = None
 ):
@@ -310,12 +422,12 @@ def _sdpa_windows_fused_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     B, nW, N, D3 = windows.shape
     D = D3 // 3
     h = num_heads
     dh = D // h
     masked = groups is not None
-    scale = 1.0 / math.sqrt(dh)
 
     per_window = N * 4 * D * windows.dtype.itemsize + (N * N * 4 if masked else 0)
     KW = _pick_window_batch(nW, per_window, budget_mb)
@@ -325,31 +437,11 @@ def _sdpa_windows_fused_pallas(
             b_ref, x_ref, out_ref = args
         else:
             x_ref, out_ref = args
+            b_ref = None
         x = x_ref[0]  # (KW, N, 3D)
-        outs = []
-        for hh in range(h):
-            q = x[..., hh * dh : (hh + 1) * dh]
-            k = x[..., D + hh * dh : D + (hh + 1) * dh]
-            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
-            logits = (
-                jax.lax.dot_general(
-                    q, k,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
-            if masked:
-                logits = logits + b_ref[...]
-            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    w, v,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
-        out_ref[0] = jnp.concatenate(outs, axis=-1)
+        out_ref[0] = _heads_attention(
+            x, b_ref[...] if b_ref is not None else None, h, D
+        )
 
     in_specs = [
         pl.BlockSpec((1, KW, N, 3 * D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM)
@@ -372,7 +464,8 @@ def _sdpa_windows_fused_pallas(
         out_shape=jax.ShapeDtypeStruct((B, nW, N, D), windows.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * nW * h * N * N * dh,
-            bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3,
+            bytes_accessed=windows.size * windows.dtype.itemsize * 4 // 3
+            + (B * nW * N * N * 4 if masked else 0),
             transcendentals=B * nW * h * N * N,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -413,11 +506,11 @@ def _attn_windows_qkv_fused_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     B, nW, N, D = xw.shape
     h = num_heads
     dh = D // h
     masked = groups is not None
-    scale = 1.0 / math.sqrt(dh)
 
     wqkv = wqkv.astype(xw.dtype)
     bqkv = bqkv.astype(xw.dtype).reshape(1, 3 * D)
@@ -436,57 +529,12 @@ def _attn_windows_qkv_fused_pallas(
             b_ref, x_ref, w_ref, bias_ref, *rest = args
         else:
             x_ref, w_ref, bias_ref, *rest = args
+            b_ref = None
         out_ref = rest[-1]
         xt = x_ref[0].reshape(KW * N, D)
-        qkv = jax.lax.dot_general(
-            xt, w_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(xt.dtype) + bias_ref[...]
-        x = qkv.reshape(KW, N, 3 * D)
-        outs = []
-        for hh in range(h):
-            q = x[..., hh * dh : (hh + 1) * dh]
-            k = x[..., D + hh * dh : D + (hh + 1) * dh]
-            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
-            logits = (
-                jax.lax.dot_general(
-                    q, k,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
-            if masked:
-                logits = logits + b_ref[...]
-            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    w, v,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
-        attn = jnp.concatenate(outs, axis=-1)
-        if tail is None:
-            out_ref[0] = attn
-            return
-        wp_ref, bp_ref, sh_ref, sc_ref = rest[:4]
-        y = (
-            jax.lax.dot_general(
-                attn.reshape(KW * N, D), wp_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bp_ref[...]
-        ).astype(xt.dtype)  # round like the unfused path
-        yf = y.astype(jnp.float32)
-        mean = jnp.mean(yf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-        ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
-        mod = ln * sc_ref[...] + sh_ref[...]
-        out_ref[0] = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype).reshape(
-            KW, N, D
+        out_ref[0] = _qkv_attn_tail_body(
+            xt, w_ref, bias_ref, b_ref, rest, out_ref.dtype,
+            KW=KW, N=N, D=D, h=h, ln_eps=ln_eps,
         )
 
     in_specs = [
@@ -524,7 +572,8 @@ def _attn_windows_qkv_fused_pallas(
             + 2 * 2 * B * nW * h * N * N * dh
             + proj_flops,
             bytes_accessed=2 * B * nW * N * D * xw.dtype.itemsize
-            + 3 * D * D * xw.dtype.itemsize,
+            + 3 * D * D * xw.dtype.itemsize
+            + (B * nW * N * N * 4 if masked else 0),
             transcendentals=B * nW * h * N * N,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -556,6 +605,7 @@ def _attn_windows_5d_fused_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     B, Cp, Hp, Wp, D = xp.shape
     C1, H1, W1 = Cp // ws[0], Hp // ws[1], Wp // ws[2]
     N = ws[0] * ws[1] * ws[2]
@@ -563,7 +613,6 @@ def _attn_windows_5d_fused_pallas(
     h = num_heads
     dh = D // h
     masked = groups is not None
-    scale = 1.0 / math.sqrt(dh)
 
     wqkv = wqkv.astype(xp.dtype)
     bqkv = bqkv.astype(xp.dtype).reshape(1, 3 * D)
@@ -574,14 +623,15 @@ def _attn_windows_5d_fused_pallas(
         t_shift = t_shift.astype(jnp.float32)
         t_scale = t_scale.astype(jnp.float32)
 
-    # VMEM per window: tokens in/out, the f32 qkv GEMM result + its rounded copy,
-    # the (N, N) bias + f32 logits. KW must divide the W1 windows of a block row.
-    per_window = (
-        N * D * xp.dtype.itemsize * 2
-        + N * 3 * D * (4 + xp.dtype.itemsize)
-        + N * N * 8
+    KW = _pick_window_row_batch(
+        W1, ws[2], _attn5d_per_window(N, D, xp.dtype.itemsize), budget_mb
     )
-    KW = _pick_window_row_batch(W1, ws[2], per_window, budget_mb)
+    if KW is None:
+        raise ValueError(
+            f"No window-row batch of W1={W1} (ws2={ws[2]}) fits the 5D attention "
+            f"kernel's VMEM budget ({budget_mb or _ATTN5D_VMEM_MB} MB; raise "
+            "AURORA_ATTN5D_VMEM_MB or use the windowed kernel path)."
+        )
     Wb = KW * ws[2]
     W1b = W1 // KW
 
@@ -590,6 +640,7 @@ def _attn_windows_5d_fused_pallas(
             b_ref, x_ref, w_ref, bias_ref, *rest = args
         else:
             x_ref, w_ref, bias_ref, *rest = args
+            b_ref = None
         out_ref = rest[-1]
         blk = x_ref[0]  # (ws0, ws1, Wb, D)
         xt = (
@@ -597,54 +648,10 @@ def _attn_windows_5d_fused_pallas(
             .transpose(2, 0, 1, 3, 4)
             .reshape(KW * N, D)
         )
-        qkv = jax.lax.dot_general(
-            xt, w_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(xt.dtype) + bias_ref[...]
-        x = qkv.reshape(KW, N, 3 * D)
-        outs = []
-        for hh in range(h):
-            q = x[..., hh * dh : (hh + 1) * dh]
-            k = x[..., D + hh * dh : D + (hh + 1) * dh]
-            v = x[..., 2 * D + hh * dh : 2 * D + (hh + 1) * dh]
-            logits = (
-                jax.lax.dot_general(
-                    q, k,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
-            if masked:
-                logits = logits + b_ref[...]
-            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            outs.append(
-                jax.lax.dot_general(
-                    w, v,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
-        attn = jnp.concatenate(outs, axis=-1)  # (KW, N, D)
-        if tail is None:
-            o = attn
-        else:
-            wp_ref, bp_ref, sh_ref, sc_ref = rest[:4]
-            y = (
-                jax.lax.dot_general(
-                    attn.reshape(KW * N, D), wp_ref[...],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + bp_ref[...]
-            ).astype(xt.dtype)  # round like the unfused path
-            yf = y.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
-            ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
-            mod = ln * sc_ref[...] + sh_ref[...]
-            o = (xt.astype(jnp.float32) + mod).astype(out_ref.dtype).reshape(KW, N, D)
+        o = _qkv_attn_tail_body(
+            xt, w_ref, bias_ref, b_ref, rest, out_ref.dtype,
+            KW=KW, N=N, D=D, h=h, ln_eps=ln_eps,
+        )
         out_ref[0] = (
             o.reshape(KW, ws[0], ws[1], ws[2], D)
             .transpose(1, 2, 0, 3, 4)
@@ -698,7 +705,8 @@ def _attn_windows_5d_fused_pallas(
             + 2 * 2 * B * nW * h * N * N * dh
             + proj_flops,
             bytes_accessed=2 * B * nW * N * D * xp.dtype.itemsize
-            + 3 * D * D * xp.dtype.itemsize,
+            + 3 * D * D * xp.dtype.itemsize
+            + (B * nW * N * N * 4 if masked else 0),
             transcendentals=B * nW * h * N * N,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -807,6 +815,8 @@ def swin_block_apply(
     rollout_step: jax.Array,
     cfg: BackboneConfig,
     warped: bool = True,
+    dp_rate: float = 0.0,
+    rng=None,
 ) -> jax.Array:
     """One LN-after Swin block over 5D tokens ``x: (B, C, H, W, D)``.
 
@@ -814,6 +824,13 @@ def swin_block_apply(
     through the backbone so the (H, W) axes stay shardable over the (lat, lon)
     mesh — flattening to ``(B, L, D)`` between blocks forces GSPMD to reshuffle
     the token grid at every block boundary (measured: tools/halo_analysis.py).
+
+    ``dp_rate``/``rng``: per-block stochastic-depth rate and PRNG key (training
+    only; reference applies DropPath on both residual branches, swin3d.py:507-508,
+    and dropout on proj + both MLP linears). When the key is ``None`` or all rates
+    are 0 the block is deterministic and takes the fused fast paths; stochastic
+    training takes the unfused path (the fused tails would bake the branch into
+    the kernel before DropPath can drop it).
     """
     C, H, W = res
     B = x.shape[0]
@@ -824,8 +841,13 @@ def swin_block_apply(
 
     shortcut = x
 
+    stochastic = rng is not None and (dp_rate > 0.0 or cfg.drop_rate > 0.0)
+    if stochastic:
+        k_dp1, k_dp2, k_proj_do, k_hid_do, k_out_do = jax.random.split(rng, 5)
+    kernel_ok = jax.default_backend() == "tpu" or _force_interpret()
+
     on_mesh_early = mesh_active()
-    roll_pallas = jax.default_backend() == "tpu" and not on_mesh_early
+    roll_pallas = kernel_ok and not on_mesh_early
 
     def do_roll(t, sh):
         if roll_pallas:
@@ -851,25 +873,50 @@ def swin_block_apply(
     on_mesh = mesh_active()
     mimpl = cfg.mlp_impl
     if mimpl == "auto":
-        mimpl = "fused" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+        mimpl = "fused" if (kernel_ok and not on_mesh) else "xla"
     aimpl = cfg.attention_impl
     if aimpl == "auto":
-        aimpl = "pallas" if (jax.default_backend() == "tpu" and not on_mesh) else "xla"
+        aimpl = "pallas" if (kernel_ok and not on_mesh) else "xla"
+    if stochastic:
+        # DropPath/dropout sit between proj and the residual: the fused tails
+        # cannot express them, so training with stochastic knobs runs unfused.
+        mimpl = "xla"
+        aimpl = "xla"
     # Fused attention tail: proj, AdaLN and the residual are all per-token, so
-    # they commute with window-reverse, crop and roll (LoRA takes unfused paths).
-    fuse_attn_tail = (
-        mimpl == "fused" and not on_mesh and "lora_proj" not in p["attn"]
-    )
+    # they commute with window-reverse, crop and roll. LoRA adapters are folded
+    # into the qkv/proj weights as rank-r effective-weight deltas
+    # (lora_weight_delta, ~0.1% of the block's FLOPs), so the production
+    # (use_lora=True) checkpoints keep every fused fast path.
+    fuse_attn_tail = mimpl == "fused" and not on_mesh
     # Best case: the tail runs INSIDE the qkv-fused attention kernel — the
     # residual is the kernel's own input rows (partition(pad(roll(x)))), so the
     # whole proj/AdaLN/residual chain costs zero extra HBM traffic (the separate
     # tail kernel ran at 16-23% of floor, dominated by its 3 HBM passes). Padded
     # rows flow through proj/LN too, but every op is per-token and they are
     # cropped right after.
-    tail_in_kernel = (
-        fuse_attn_tail
-        and aimpl in ("pallas", "pallas_windowed")
-        and "lora_qkv" not in p["attn"]
+    tail_in_kernel = fuse_attn_tail and aimpl in ("pallas", "pallas_windowed")
+
+    lora_kw = dict(
+        r=cfg.lora_r, alpha=cfg.lora_alpha,
+        max_steps=cfg.lora_steps, mode=cfg.lora_mode,
+    )
+
+    def eff_weight(lin_name: str, lora_name: str):
+        w = p["attn"][lin_name]["weight"]
+        if lora_name in p["attn"]:
+            w = w + lora_weight_delta(p["attn"][lora_name], rollout_step, **lora_kw)
+        return w
+
+    # The 5D direct-window kernel needs a window-row batch inside the VMEM budget;
+    # otherwise fall back to the windowed partition→kernel→reverse path (same
+    # numerics — both call _qkv_attn_tail_body).
+    N = ws[0] * ws[1] * ws[2]
+    use_5d = (
+        aimpl == "pallas"
+        and _pick_window_row_batch(
+            Wp // ws[2], ws[2], _attn5d_per_window(N, D, xp.dtype.itemsize), None
+        )
+        is not None
     )
 
     tail = None
@@ -878,16 +925,16 @@ def swin_block_apply(
         shift1, scale1 = jnp.split(mod1, 2, axis=-1)
         if tail_in_kernel:
             tail = (
-                p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"],
+                eff_weight("proj", "lora_proj"), p["attn"]["proj"]["bias"],
                 shift1, scale1,
             )
 
-    if aimpl == "pallas" and "lora_qkv" not in p["attn"]:
+    if use_5d:
         # Fast path: windows are read straight out of the 5D tensor by the kernel's
         # BlockSpecs — no partition/reverse relayouts (~75 ms/step at 0.25°; see
         # _attn_windows_5d_fused_pallas). With ``tail`` the output is post-residual.
         xp = _attn_windows_5d_fused_pallas(
-            xp, p["attn"]["qkv"]["weight"], p["attn"]["qkv"]["bias"],
+            xp, eff_weight("qkv", "lora_qkv"), p["attn"]["qkv"]["bias"],
             num_heads, groups, ws, tail=tail,
         )
         if not fuse_attn_tail:
@@ -924,11 +971,19 @@ def swin_block_apply(
         pass  # x is already post-residual: the tail ran in the attention kernel
     elif fuse_attn_tail:
         x = linear_adaln_residual_fused(
-            x, p["attn"]["proj"]["weight"], p["attn"]["proj"]["bias"],
+            x, eff_weight("proj", "lora_proj"), p["attn"]["proj"]["bias"],
             shortcut, shift1, scale1,
         )
     else:
-        x = constrain(shortcut + adaptive_layernorm(p["norm1"], x, c), TOKENS_5D_SPEC)
+        if stochastic:
+            # Dropout after proj (reference proj_drop); crop/roll commute with
+            # iid per-element dropout, so applying it post-un-windowing matches
+            # the reference distribution.
+            x = dropout(x, cfg.drop_rate, k_proj_do)
+            branch = drop_path(adaptive_layernorm(p["norm1"], x, c), dp_rate, k_dp1)
+        else:
+            branch = adaptive_layernorm(p["norm1"], x, c)
+        x = constrain(shortcut + branch, TOKENS_5D_SPEC)
 
     if mimpl == "fused" and not on_mesh:
         # Whole MLP branch (fc1 -> GELU -> fc2 -> AdaLN -> +residual) as one Pallas
@@ -947,9 +1002,20 @@ def swin_block_apply(
                 x, mp["fc1"]["weight"], mp["fc1"]["bias"],
                 mp["fc2"]["weight"], mp["fc2"]["bias"],
             )
+        elif stochastic:
+            # Reference MLP: fc1 → GELU → drop → fc2 → drop (perceiver.py:57-65).
+            mp = p["mlp"]
+            hidden = dropout(
+                jax.nn.gelu(linear(mp["fc1"], x), approximate=False),
+                cfg.drop_rate, k_hid_do,
+            )
+            mlp_out = dropout(linear(mp["fc2"], hidden), cfg.drop_rate, k_out_do)
         else:
             mlp_out = mlp(p["mlp"], x)
-        x = constrain(x + adaptive_layernorm(p["norm2"], mlp_out, c), TOKENS_5D_SPEC)
+        branch2 = adaptive_layernorm(p["norm2"], mlp_out, c)
+        if stochastic:
+            branch2 = drop_path(branch2, dp_rate, k_dp2)
+        x = constrain(x + branch2, TOKENS_5D_SPEC)
     if not on_mesh:
         x = x.reshape(B, C, H, W, D)
     return x
@@ -1100,11 +1166,16 @@ def get_encoder_specs(cfg: BackboneConfig, patch_res: tuple[int, int, int]):
     return all_res, padded_outs
 
 
-def _run_blocks(p, x, c, res, num_heads, rollout_step, cfg: BackboneConfig):
+def _run_blocks(
+    p, x, c, res, num_heads, rollout_step, cfg: BackboneConfig,
+    dp_rates: tuple[float, ...] = (), rng=None,
+):
+    """``dp_rates``: per-block stochastic-depth rates (empty = all 0); ``rng``: PRNG
+    key for the stochastic ops, folded per block (``None`` = deterministic)."""
     block = swin_block_apply
     if cfg.remat:
         block = jax.checkpoint(
-            swin_block_apply, static_argnums=(3, 4, 5, 7), policy=None
+            swin_block_apply, static_argnums=(3, 4, 5, 7, 8, 9), policy=None
         )
     for i, bp in enumerate(p["blocks"]):
         shift = (
@@ -1112,7 +1183,9 @@ def _run_blocks(p, x, c, res, num_heads, rollout_step, cfg: BackboneConfig):
             if i % 2 == 0
             else (cfg.window_size[0] // 2, cfg.window_size[1] // 2, cfg.window_size[2] // 2)
         )
-        x = block(bp, x, c, res, shift, num_heads, rollout_step, cfg)
+        dp = float(dp_rates[i]) if dp_rates else 0.0
+        k = jax.random.fold_in(rng, i) if rng is not None else None
+        x = block(bp, x, c, res, shift, num_heads, rollout_step, cfg, True, dp, k)
     return x
 
 
@@ -1123,11 +1196,16 @@ def backbone_apply(
     rollout_step: jax.Array,
     patch_res: tuple[int, int, int],
     cfg: BackboneConfig,
+    rng=None,
 ) -> jax.Array:
     """Run the U-Net backbone over tokens ``x: (B, L, D)``.
 
     ``lead_time_encode`` is the host-precomputed Fourier expansion of the lead time,
     shape ``(D,)`` (see aurora_tpu/fourier.py design note).
+
+    ``rng``: PRNG key enabling the training-only stochastic knobs (``cfg.drop_path``
+    stochastic depth with the reference's linear ramp, swin3d.py:813; and
+    ``cfg.drop_rate`` dropout). ``None`` (inference) is fully deterministic.
     """
     B, L, D = x.shape
     assert L == patch_res[0] * patch_res[1] * patch_res[2], "Input shape mismatch."
@@ -1138,6 +1216,19 @@ def backbone_apply(
     all_enc_res, padded_outs = get_encoder_specs(cfg, patch_res)
     n_dec = len(cfg.decoder_depths)
 
+    # Per-block stochastic-depth ramp, 0 → cfg.drop_path over the encoder blocks;
+    # decoder layers index the same ramp by decoder depths (reference:
+    # aurora/model/swin3d.py:813,829,851).
+    dpr = np.linspace(0.0, cfg.drop_path, sum(cfg.encoder_depths))
+    enc_dpr = [
+        tuple(dpr[sum(cfg.encoder_depths[:i]) : sum(cfg.encoder_depths[: i + 1])])
+        for i in range(len(cfg.encoder_depths))
+    ]
+    dec_dpr = [
+        tuple(dpr[sum(cfg.decoder_depths[:i]) : sum(cfg.decoder_depths[: i + 1])])
+        for i in range(n_dec)
+    ]
+
     # FiLM conditioning context from the lead time.
     lt = jnp.broadcast_to(lead_time_encode.astype(x.dtype), (B, lead_time_encode.shape[-1]))
     c = linear(params["time_mlp"]["fc2"], jax.nn.silu(linear(params["time_mlp"]["fc1"], lt)))
@@ -1147,8 +1238,10 @@ def backbone_apply(
 
     skips = []
     for i, layer in enumerate(params["encoder_layers"]):
+        k = jax.random.fold_in(rng, i) if rng is not None else None
         x = _run_blocks(
-            layer, x, c, all_enc_res[i], cfg.encoder_num_heads[i], rollout_step, cfg
+            layer, x, c, all_enc_res[i], cfg.encoder_num_heads[i], rollout_step, cfg,
+            dp_rates=enc_dpr[i], rng=k,
         )
         skips.append(x)
         if "downsample" in layer:
@@ -1158,8 +1251,10 @@ def backbone_apply(
 
     for i, layer in enumerate(params["decoder_layers"]):
         index = n_dec - i - 1
+        k = jax.random.fold_in(rng, 100 + i) if rng is not None else None
         x = _run_blocks(
-            layer, x, c, all_enc_res[index], cfg.decoder_num_heads[i], rollout_step, cfg
+            layer, x, c, all_enc_res[index], cfg.decoder_num_heads[i], rollout_step, cfg,
+            dp_rates=dec_dpr[i], rng=k,
         )
         if "upsample" in layer:
             x = constrain(

@@ -38,6 +38,12 @@ _ROW_TILE_CAP = int(os.environ.get("AURORA_ROW_TILE_CAP", "512"))
 _HIDDEN_CHUNK = int(os.environ.get("AURORA_HIDDEN_CHUNK", "2048"))
 
 
+def _force_interpret() -> bool:
+    """CI/test hook (AURORA_PALLAS_INTERPRET=1): run the kernels in interpret mode on
+    any backend so block-level routing can be exercised on CPU."""
+    return os.environ.get("AURORA_PALLAS_INTERPRET", "0") == "1"
+
+
 def _largest_row_tile(rows: int, max_tile: int) -> int:
     """Largest divisor of ``rows`` that is a multiple of 8 and <= max_tile."""
     for cand in range(min(rows, max_tile) // 8 * 8, 0, -8):
@@ -120,7 +126,10 @@ def _gelu_exact(x, accurate: bool = True):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476, accurate=accurate))
 
 
-def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array):
+def mlp_fused(
+    x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
+    interpret: bool = False,
+):
     """``gelu(x @ w1 + b1) @ w2 + b2`` with the hidden activation kept in VMEM.
 
     ``x``: (..., D_in); ``w1``: (D_in, H); ``w2``: (H, D_out).
@@ -128,6 +137,7 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     orig_shape = x.shape
     D_in = x.shape[-1]
     H = w1.shape[1]
@@ -188,7 +198,10 @@ def mlp_fused(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax
             * x.dtype.itemsize,
             transcendentals=rows * H,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
     )(x2, w1, b1, w2, b2)
     return out.reshape(*orig_shape[:-1], D_out)
 
@@ -223,6 +236,7 @@ def mlp_adaln_residual_fused(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     B, L, D_in = x.shape
     H = w1.shape[1]
     D_out = w2.shape[1]
@@ -331,6 +345,7 @@ def linear_adaln_residual_fused(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _force_interpret()
     B, L, D_in = x.shape
     D_out = w.shape[1]
     assert D_out == D_in

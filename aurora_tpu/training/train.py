@@ -102,21 +102,28 @@ def make_train_step(
     mask to :func:`adamw` so they get no optimiser state either.
     """
 
-    def compute_loss(params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos):
+    def compute_loss(
+        params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos, rng
+    ):
         if trainable is not None:
             mask = trainable(params)
             params = jax.tree_util.tree_map(
                 lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
             )
         pred_surf, pred_atmos = forward_core(
-            params, surf, static, atmos, enc, rollout_step, atmos_levels, cfg
+            params, surf, static, atmos, enc, rollout_step, atmos_levels, cfg, rng=rng
         )
         return loss_fn(pred_surf, pred_atmos, tgt_surf, tgt_atmos)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos):
+    def train_step(
+        params, opt_state, surf, static, atmos, enc, rollout_step, tgt_surf,
+        tgt_atmos, rng=None,
+    ):
+        """``rng``: per-step PRNG key for the stochastic training knobs
+        (``cfg.drop_path`` / ``cfg.drop_rate``); ``None`` = deterministic step."""
         loss, grads = jax.value_and_grad(compute_loss)(
-            params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos
+            params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos, rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

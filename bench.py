@@ -48,7 +48,7 @@ def make_numpy_batch(seed=0):
     )
 
 
-def bench_jax(steps=3):
+def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     import jax
     import jax.numpy as jnp
 
@@ -67,11 +67,16 @@ def bench_jax(steps=3):
     from aurora_tpu.model.aurora import Aurora, init_params
     from aurora_tpu.model.config import LARGE_CONFIG
 
+    # The PRODUCTION config: the flagship released checkpoint
+    # (aurora-0.25-finetuned.ckpt, Aurora.default_config) has use_lora=True; the
+    # LoRA deltas are folded into the fused kernels (model/lora.py
+    # lora_weight_delta), so this is the number users actually get.
     cfg = LARGE_CONFIG.replace(
-        autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True
+        autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True,
+        use_lora=use_lora,
     )
     model = Aurora(cfg)
-    log("initialising 1.3B params ...")
+    log(f"initialising 1.3B params (use_lora={use_lora}) ...")
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
 
     data = make_numpy_batch()
@@ -123,6 +128,10 @@ def bench_jax(steps=3):
     dt = min(times)
     log(f"device-resident step times: {[f'{t:.3f}' for t in times]}")
 
+    grid_points = (H_FULL - 1) * W
+    if not measure_rollout:
+        return grid_points / dt, dt, None
+
     # Roll-out steps/s (BASELINE.json north-star pair): the autoregressive feedback
     # loop with all state device-resident — each step's prediction is concatenated
     # onto the history and fed back; only a sync scalar crosses the tunnel.
@@ -147,7 +156,6 @@ def bench_jax(steps=3):
     dt_roll = (time.time() - t0) / n_roll
     log(f"device-resident rollout: {dt_roll:.3f} s/step -> {1.0/dt_roll:.3f} steps/s")
 
-    grid_points = (H_FULL - 1) * W
     return grid_points / dt, dt, 1.0 / dt_roll
 
 
@@ -195,10 +203,23 @@ def bench_torch_reference():
 
 
 def main():
-    value, dt, roll_sps = bench_jax()
+    value, dt, roll_sps = bench_jax(use_lora=True)
     baseline = bench_torch_reference()
     vs = value / baseline if baseline else 1.0
     extra = {"rollout_steps_per_s": round(roll_sps, 3)}
+    if os.environ.get("AURORA_BENCH_NOLORA", "1") == "1":
+        # The LoRA fold must keep the production config within a few % of the
+        # non-LoRA fast path (VERDICT r2 weak #3: done = gap < 10%).
+        try:
+            import gc
+
+            gc.collect()  # free the first model's device buffers before re-initialising
+            v0, _, _ = bench_jax(use_lora=False, measure_rollout=False)
+            extra["nolora_grid_points_per_s"] = round(v0, 1)
+            extra["lora_vs_nolora"] = round(value / v0, 4)
+            log(f"LoRA/non-LoRA throughput ratio: {value / v0:.4f}")
+        except Exception as e:
+            log(f"non-LoRA comparison failed: {e}")
     # 10-step roll-out parity vs the torch reference (small model, f32), produced by
     # tools/rollout_parity.py and cached — the other half of the north-star pair.
     parity_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_PARITY.json")
