@@ -17,6 +17,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from aurora_tpu.ops.ad import kernel_with_xla_grad
+
 __all__ = ["mlp_fused", "mlp_adaln_residual_fused", "linear_adaln_residual_fused"]
 
 
@@ -180,29 +182,46 @@ def mlp_fused(
         )
         out_ref[...] = (acc + b2_ref[...]).astype(out_ref.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(nR,),
-        in_specs=[
-            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * D_in * H + 2 * rows * H * D_out,
-            bytes_accessed=(rows * D_in + D_in * H + H * D_out + rows * D_out)
-            * x.dtype.itemsize,
-            transcendentals=rows * H,
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=interpret,
-    )(x2, w1, b1, w2, b2)
+    def kernel_call(x2, w1, b1, w2, b2):
+        return pl.pallas_call(
+            kernel,
+            grid=(nR,),
+            in_specs=[
+                pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * D_in * H + 2 * rows * H * D_out,
+                bytes_accessed=(rows * D_in + D_in * H + H * D_out + rows * D_out)
+                * x.dtype.itemsize,
+                transcendentals=rows * H,
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(x2, w1, b1, w2, b2)
+
+    def xla_ref(x2, w1, b1, w2, b2):
+        hid = jax.lax.dot_general(
+            x2, w1, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1
+        hid = jax.nn.gelu(
+            hid.astype(x2.dtype).astype(jnp.float32), approximate=False
+        ).astype(x2.dtype)
+        out = jax.lax.dot_general(
+            hid, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2
+        return out.astype(x2.dtype)
+
+    out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2)
     return out.reshape(*orig_shape[:-1], D_out)
 
 
@@ -294,31 +313,57 @@ def mlp_adaln_residual_fused(
 
     per_batch = L // R
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(nR,),
-        in_specs=[
-            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * D_in * H + 2 * rows * H * D_out,
-            bytes_accessed=(2 * rows * D_in + D_in * H + H * D_out + rows * D_out)
-            * x.dtype.itemsize,
-            transcendentals=rows * H,
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=interpret,
-    )(x2, w1, b1, w2, b2, shift, scale)
+    def kernel_call(x2, w1, b1, w2, b2, shift, scale):
+        return pl.pallas_call(
+            kernel,
+            grid=(nR,),
+            in_specs=[
+                pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D_in, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * D_in * H + 2 * rows * H * D_out,
+                bytes_accessed=(2 * rows * D_in + D_in * H + H * D_out + rows * D_out)
+                * x.dtype.itemsize,
+                transcendentals=rows * H,
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(x2, w1, b1, w2, b2, shift, scale)
+
+    def xla_ref(x2, w1, b1, w2, b2, shift, scale):
+        hid = jax.lax.dot_general(
+            x2, w1, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1
+        hid = jax.nn.gelu(
+            hid.astype(x2.dtype).astype(jnp.float32), approximate=False
+        ).astype(x2.dtype)
+        y = (
+            jax.lax.dot_general(
+                hid, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2
+        ).astype(x2.dtype)
+        yf = y.reshape(B, L, D_out).astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+        mod = ln * (scale_bias + scale[:, None, :]) + shift[:, None, :]
+        out = x2.reshape(B, L, D_out).astype(jnp.float32) + mod
+        return out.astype(x2.dtype).reshape(rows, D_out)
+
+    out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2, shift, scale)
     return out.reshape(B, L, D_out)
 
 
@@ -382,28 +427,47 @@ def linear_adaln_residual_fused(
         mod = ln * (scale_bias + sc_ref[...]) + sh_ref[...]
         out_ref[...] = (s_ref[...].astype(jnp.float32) + mod).astype(out_ref.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(nR,),
-        in_specs=[
-            pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D_in, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * rows * D_in * D_out,
-            bytes_accessed=(2 * rows * D_in + D_in * D_out + rows * D_out)
-            * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=interpret,
-    )(x2, w, b, s2, shift, scale)
+    def kernel_call(x2, w, b, s2, shift, scale):
+        return pl.pallas_call(
+            kernel,
+            grid=(nR,),
+            in_specs=[
+                pl.BlockSpec((R, D_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D_in, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D_out), lambda i: (i // per_batch, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, D_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, D_out), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * D_in * D_out,
+                bytes_accessed=(2 * rows * D_in + D_in * D_out + rows * D_out)
+                * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(x2, w, b, s2, shift, scale)
+
+    def xla_ref(x2, w, b, s2, shift, scale):
+        y = (
+            jax.lax.dot_general(
+                x2, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        ).astype(x2.dtype)
+        yf = y.reshape(B, L, D_out).astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        mod = ln * (scale_bias + scale[:, None, :]) + shift[:, None, :]
+        out = s2.reshape(B, L, D_out).astype(jnp.float32) + mod
+        return out.astype(x2.dtype).reshape(rows, D_out)
+
+    out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w, b, s2, shift, scale)
     return out.reshape(B, L, D_out)

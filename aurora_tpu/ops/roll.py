@@ -77,22 +77,30 @@ def roll3d_pallas(
             pl.BlockSpec((1, HB, W, D), im2, memory_space=pltpu.VMEM),
         ]
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(B * C, nH),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, HB, W, D), lambda g, i: (g, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * C, H, W, D), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=0,
-            bytes_accessed=2 * x.size * x.dtype.itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20
-        ),
-        interpret=interpret,
-    )(*([x2] if o == 0 else [x2, x2]))
-    return out.reshape(B, C, H, W, D)
+    def kernel_call(x2):
+        out = pl.pallas_call(
+            kernel,
+            grid=(B * C, nH),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, HB, W, D), lambda g, i: (g, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B * C, H, W, D), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=0,
+                bytes_accessed=2 * x.size * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(*([x2] if o == 0 else [x2, x2]))
+        return out.reshape(B, C, H, W, D)
+
+    def xla_ref(x2):
+        return jnp.roll(x2.reshape(B, C, H, W, D), (s0, s1, s2), axis=(1, 2, 3))
+
+    from aurora_tpu.ops.ad import kernel_with_xla_grad
+
+    return kernel_with_xla_grad(kernel_call, xla_ref)(x2)

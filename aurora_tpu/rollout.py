@@ -43,21 +43,31 @@ def rollout(model: Aurora, params, batch: Batch, steps: int) -> Generator[Batch,
         )
 
 
-def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]:
+def rollout_scan(
+    model: Aurora, params, batch: Batch, steps: int, host_offload: bool = False
+) -> list[Batch]:
     """Whole-roll-out as ONE compiled ``lax.scan`` program.
 
     The history shift, per-step LoRA selection, variant hooks, and clamp gating all
     happen in-graph; the per-step absolute-time (and dynamic time-feature) encodings
-    are precomputed host-side for every step and scanned over. Returns the list of
-    per-step predictions (the stacked outputs live on device until indexed, so callers
-    rolling many steps of the 1.3 B model at 0.25 deg should prefer :func:`rollout`,
-    which bounds device memory at one step).
+    are precomputed host-side for every step and scanned over.
+
+    ``host_offload=False`` stacks every step's prediction on device (fine for small
+    models / few steps). ``host_offload=True`` bounds device memory at ONE step for
+    any length: each step's prediction is shipped to host through an ordered
+    ``io_callback`` inside the scan and the device carries only the rolling history
+    (donated, so XLA reuses the buffers in place) — this is how the flagship 1.3 B
+    0.25° model rolls out arbitrarily many steps on a 16 GB chip in a single
+    compiled program (reference semantics: aurora/rollout.py:33-49, which yields to
+    the caller per step instead).
 
     Matches :func:`rollout` step for step (tests/test_rollout.py).
     """
     import dataclasses as _dc
+    import functools
 
     import jax
+    import numpy as _np
     from aurora_tpu.model.aurora import forward_core
 
     cfg = model.cfg
@@ -92,6 +102,18 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
     levels = tuple(float(x) for x in md.atmos_levels)
     step0 = jnp.asarray(batch.metadata.rollout_step, jnp.int32)
 
+    # Host-side store for the offload path, filled by the ordered io_callback as
+    # the compiled scan executes.
+    host_store: list = []
+
+    def ship_to_host(surf_pred, atmos_pred):
+        host_store.append(
+            (
+                {k: _np.asarray(v) for k, v in surf_pred.items()},
+                {k: _np.asarray(v) for k, v in atmos_pred.items()},
+            )
+        )
+
     def body(carry, xs):
         surf, atmos, step = carry
         abs_t_i, dyn_i = xs
@@ -107,7 +129,14 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
             k: jnp.concatenate([atmos[k][:, 1:], atmos_pred[k][:, None]], axis=1)
             for k in atmos
         }
-        return (surf_next, atmos_next, step + 1), (surf_pred, atmos_pred)
+        if host_offload:
+            from jax.experimental import io_callback
+
+            io_callback(ship_to_host, None, surf_pred, atmos_pred, ordered=True)
+            out = None
+        else:
+            out = (surf_pred, atmos_pred)
+        return (surf_next, atmos_next, step + 1), out
 
     xs = (abs_t, dyn if dyn is not None else jnp.zeros((steps, 1)))
     if dyn is None:
@@ -117,17 +146,43 @@ def rollout_scan(model: Aurora, params, batch: Batch, steps: int) -> list[Batch]
     else:
         scan_body = body
 
-    (_, _, _), (surf_stack, atmos_stack) = jax.lax.scan(
-        scan_body, (surf0, atmos0, step0), xs, length=steps
-    )
+    if host_offload:
+        # Donate the rolling history so XLA updates the carry in place: device
+        # memory stays at one step's working set for any number of steps. Fresh
+        # copies are donated — the caller's batch arrays must survive.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(carry, xs):
+            final_carry, _ = jax.lax.scan(scan_body, carry, xs, length=steps)
+            return final_carry
+
+        surf_d = {k: jnp.array(v) for k, v in surf0.items()}
+        atmos_d = {k: jnp.array(v) for k, v in atmos0.items()}
+        run((surf_d, atmos_d, step0), xs)
+        jax.effects_barrier()
+        assert len(host_store) == steps
+        per_step = [
+            ({k: v[:, None] for k, v in s.items()}, {k: v[:, None] for k, v in a.items()})
+            for s, a in host_store
+        ]
+    else:
+        (_, _, _), (surf_stack, atmos_stack) = jax.lax.scan(
+            scan_body, (surf0, atmos0, step0), xs, length=steps
+        )
+        per_step = [
+            (
+                {k: v[i][:, None] for k, v in surf_stack.items()},
+                {k: v[i][:, None] for k, v in atmos_stack.items()},
+            )
+            for i in range(steps)
+        ]
 
     preds = []
-    for i in range(steps):
+    for i, (s_i, a_i) in enumerate(per_step):
         preds.append(
             Batch(
-                surf_vars={k: v[i][:, None] for k, v in surf_stack.items()},
+                surf_vars=s_i,
                 static_vars=dict(batch.static_vars),
-                atmos_vars={k: v[i][:, None] for k, v in atmos_stack.items()},
+                atmos_vars=a_i,
                 metadata=_dc.replace(
                     md,
                     time=tuple(t + (i + 1) * cfg.timestep for t in md.time),

@@ -30,8 +30,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from halo_analysis import collect_collectives  # noqa: E402
 
 
-@pytest.fixture(scope="module")
-def compiled_hlo():
+@pytest.fixture(scope="module", params=["xla", "mesh_kernels"])
+def compiled_hlo(request):
+    """Compile the sharded backbone twice: plain-XLA blocks (round-2 behaviour) and
+    the shard_map'd fused kernels (round 3: kernels stay ON under a mesh, in
+    interpret mode here so the HLO is produced on CPU). Both must keep the same
+    collective discipline."""
+    import os
+
     bb = swin3d.BackboneConfig(
         embed_dim=128,
         encoder_depths=(2,),
@@ -45,16 +51,24 @@ def compiled_hlo():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, L, 128), jnp.bfloat16)
     lead = jnp.ones((128,), jnp.float32)
     mesh = make_mesh(data=1, lat=2, lon=4)
-    with jax.set_mesh(mesh):
-        p_sh = replicate(params, mesh)
-        x_sh = jax.device_put(
-            x.reshape(1, *patch_res, 128), NamedSharding(mesh, TOKENS_5D_SPEC)
-        ).reshape(1, L, 128)
-        compiled = (
-            jax.jit(lambda p, xx, s: swin3d.backbone_apply(p, xx, lead, s, patch_res, bb))
-            .lower(p_sh, x_sh, jnp.asarray(0, jnp.int32))
-            .compile()
-        )
+    if request.param == "mesh_kernels":
+        os.environ["AURORA_PALLAS_INTERPRET"] = "1"
+    try:
+        with jax.set_mesh(mesh):
+            p_sh = replicate(params, mesh)
+            x_sh = jax.device_put(
+                x.reshape(1, *patch_res, 128), NamedSharding(mesh, TOKENS_5D_SPEC)
+            ).reshape(1, L, 128)
+            compiled = (
+                jax.jit(
+                    lambda p, xx, s: swin3d.backbone_apply(p, xx, lead, s, patch_res, bb)
+                )
+                .lower(p_sh, x_sh, jnp.asarray(0, jnp.int32))
+                .compile()
+            )
+    finally:
+        if request.param == "mesh_kernels":
+            os.environ.pop("AURORA_PALLAS_INTERPRET", None)
     token_bytes = L * 128 * 2
     return collect_collectives(compiled.as_text()), token_bytes
 

@@ -191,3 +191,45 @@ def test_data_parallel_train_step_matches_single_device(setup):
     a, b = get(p1_new), get(p2_new)
     err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
     assert err < 1e-5, f"data-parallel update mismatch {err:.3e}"
+
+
+def test_sharded_forward_misaligned_grid():
+    """SURVEY hard-part #1 / VERDICT r2 weak #8: a grid whose PER-SHARD token counts
+    are NOT window multiples (H=29, W=52 tokens over lat=2 × lon=4) exercises the
+    centred two/three-sided padding interacting with shard boundaries. Sharded
+    execution must still match single-device execution."""
+    from aurora_tpu import AuroraSmallPretrained
+    from tests.conftest import make_batch
+
+    model = AuroraSmallPretrained()
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    # 117 x 208 pixels -> crop -> 116 x 208 -> tokens 29 x 52 (patch 4): odd-H
+    # token grid, per-shard 14.5/13 rows — nothing window-aligned anywhere.
+    batch = make_batch(H=117, W=208, B=1, dtype=np.float32).crop(model.cfg.patch_size)
+    enc = model.prepare_encodings(batch)
+    surf = {k: jnp.asarray(np.asarray(v)) for k, v in batch.surf_vars.items()}
+    static = {k: jnp.asarray(np.asarray(v)) for k, v in batch.static_vars.items()}
+    atmos = {k: jnp.asarray(np.asarray(v)) for k, v in batch.atmos_vars.items()}
+    step = jnp.asarray(0, jnp.int32)
+    levels = tuple(batch.metadata.atmos_levels)
+
+    ref_surf, ref_atmos = jax.jit(
+        forward_core, static_argnames=("atmos_levels", "cfg")
+    )(params, surf, static, atmos, enc, step, atmos_levels=levels, cfg=model.cfg)
+
+    mesh = auto_mesh(8)
+    with jax.set_mesh(mesh):
+        p_sh = shard_params(params, mesh)
+        s_sh, st_sh, a_sh = shard_batch_arrays(surf, static, atmos, mesh)
+        out_surf, out_atmos = jax.jit(
+            forward_core, static_argnames=("atmos_levels", "cfg")
+        )(p_sh, s_sh, st_sh, a_sh, enc, step, atmos_levels=levels, cfg=model.cfg)
+
+    for k in ref_surf:
+        a, b = np.asarray(ref_surf[k]), np.asarray(out_surf[k])
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+        assert err < 1e-5, f"surf {k}: misaligned-shard mismatch {err:.3e}"
+    for k in ref_atmos:
+        a, b = np.asarray(ref_atmos[k]), np.asarray(out_atmos[k])
+        err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+        assert err < 1e-5, f"atmos {k}: misaligned-shard mismatch {err:.3e}"
