@@ -259,9 +259,26 @@ def forward_core(
     elif cfg.variant == "wave":
         surf_t = _wave_pre_encoder(surf_t, cfg)
 
-    x = encoder_apply(
-        params["encoder"], surf_t, static_exp, atmos_t, atmos_levels, enc, cfg
+    # Under an aligned mesh the encoder/decoder run SHARD-LOCALLY (shard_map):
+    # every interior op is per-column/per-patch, so no collectives are needed
+    # outside the backbone's halo rolls (model/spmd.py; VERDICT r2 weak #4).
+    from aurora_tpu.model.swin3d import mesh_active
+    from aurora_tpu.model.spmd import (
+        decoder_apply_sharded,
+        encoder_apply_sharded,
+        spmd_local_aligned,
     )
+
+    spmd_local = mesh_active() and spmd_local_aligned(cfg, B, H, W)
+
+    if spmd_local:
+        x = encoder_apply_sharded(
+            params["encoder"], surf_t, static_exp, atmos_t, atmos_levels, enc, cfg
+        )  # (B, C_l, Hp, Wp, D)
+    else:
+        x = encoder_apply(
+            params["encoder"], surf_t, static_exp, atmos_t, atmos_levels, enc, cfg
+        )
 
     # Backbone, in bf16 when autocast is enabled (reference: aurora.py:327-343 runs
     # only the backbone under bf16 autocast; encoder/decoder stay full precision).
@@ -284,18 +301,24 @@ def forward_core(
     # Decode. The decoder's variable set is the (possibly hook-supplemented) one.
     surf_names = tuple(surf_t.keys())
     atmos_names = tuple(atmos_t.keys())
-    surf_pred, atmos_pred = decoder_apply(
-        params["decoder"],
-        x,
-        surf_names,
-        atmos_names,
-        atmos_levels,
-        enc.levels_dec,
-        patch_res,
-        H,
-        W,
-        cfg,
-    )
+    if spmd_local:
+        surf_pred, atmos_pred = decoder_apply_sharded(
+            params["decoder"], x, surf_names, atmos_names, atmos_levels,
+            enc.levels_dec, cfg,
+        )
+    else:
+        surf_pred, atmos_pred = decoder_apply(
+            params["decoder"],
+            x,
+            surf_names,
+            atmos_names,
+            atmos_levels,
+            enc.levels_dec,
+            patch_res,
+            H,
+            W,
+            cfg,
+        )
 
     # Variant post-decoder hooks (normalised space).
     if cfg.variant == "air_pollution":

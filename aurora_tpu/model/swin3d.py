@@ -221,10 +221,17 @@ def window_attention_init(key, dim: int, cfg: BackboneConfig, dtype=jnp.float32)
 
 
 def mesh_active() -> bool:
-    """True when tracing under an active (non-empty) jax mesh context."""
+    """True when tracing under an active mesh with AUTO (GSPMD) axes.
+
+    Inside a ``shard_map`` body every axis is Manual — the computation is
+    single-shard there, so the single-chip fast paths (fused kernels, flat GEMM
+    layouts) apply and this returns False.
+    """
     try:
         m = jax.sharding.get_abstract_mesh()
-        return m is not None and not m.empty
+        if m is None or m.empty:
+            return False
+        return any(t == jax.sharding.AxisType.Auto for t in m.axis_types)
     except Exception:
         return False
 
@@ -1455,9 +1462,18 @@ def backbone_apply(
     ``rng``: PRNG key enabling the training-only stochastic knobs (``cfg.drop_path``
     stochastic depth with the reference's linear ramp, swin3d.py:813; and
     ``cfg.drop_rate`` dropout). ``None`` (inference) is fully deterministic.
+
+    ``x`` may also arrive as 5D tokens ``(B, C, Hp, Wp, D)`` (the mesh-local
+    encoder hands tokens over without flattening — model/spmd.py); the output
+    then stays 5D ``(B, C, Hp, Wp, 2D)``.
     """
-    B, L, D = x.shape
-    assert L == patch_res[0] * patch_res[1] * patch_res[2], "Input shape mismatch."
+    flat_io = x.ndim == 3
+    if flat_io:
+        B, L, D = x.shape
+        assert L == patch_res[0] * patch_res[1] * patch_res[2], "Input shape mismatch."
+    else:
+        B, D = x.shape[0], x.shape[-1]
+        assert x.shape[1:4] == tuple(patch_res), (x.shape, patch_res)
     assert patch_res[0] % cfg.window_size[0] == 0, (
         f"Patch height ({patch_res[0]}) must be divisible by ws[0] ({cfg.window_size[0]})"
     )
@@ -1483,7 +1499,7 @@ def backbone_apply(
     c = linear(params["time_mlp"]["fc2"], jax.nn.silu(linear(params["time_mlp"]["fc1"], lt)))
 
     # 5D token layout throughout: (H, W) stay shardable over the (lat, lon) mesh.
-    x = constrain(x.reshape(B, *patch_res, D), TOKENS_5D_SPEC)
+    x = constrain(x.reshape(B, *patch_res, D) if flat_io else x, TOKENS_5D_SPEC)
 
     skips = []
     for i, layer in enumerate(params["encoder_layers"]):
@@ -1517,4 +1533,4 @@ def backbone_apply(
             x = x + skips[index - 1]
         elif i == n_dec - 1:
             x = jnp.concatenate([x, skips[0]], axis=-1)
-    return x.reshape(B, L, x.shape[-1])
+    return x.reshape(B, L, x.shape[-1]) if flat_io else x

@@ -38,9 +38,13 @@ TOKENS_5D_SPEC = P("data", None, "lat", "lon", None)
 
 
 def _has_mesh() -> bool:
+    """True under a mesh with AUTO (GSPMD) axes; False inside shard_map bodies
+    (all-Manual), where constraints are meaningless."""
     try:
         mesh = jax.sharding.get_abstract_mesh()
-        return mesh is not None and not mesh.empty
+        if mesh is None or mesh.empty:
+            return False
+        return any(t == jax.sharding.AxisType.Auto for t in mesh.axis_types)
     except Exception:
         return False
 
