@@ -531,15 +531,39 @@ def main():
                         preferred_element_type=jnp.float32,
                     ).astype(x.dtype)
                     return
+                if mode in ("batched_heads", "bf16_batched"):
+                    # All heads' logits in TWO batched dots (h a batch dim) instead
+                    # of the per-head Python loop — VERDICT r3 probe (ii). Costs
+                    # two in-VMEM (N, h) transposes.
+                    acc = jnp.bfloat16 if mode == "bf16_batched" else jnp.float32
+                    qkv4 = x.reshape(KW, N, 3, heads, dh)
+                    q = qkv4[:, :, 0].transpose(0, 2, 1, 3)  # (KW, h, N, dh)
+                    k = qkv4[:, :, 1].transpose(0, 2, 1, 3)
+                    v = qkv4[:, :, 2].transpose(0, 2, 1, 3)
+                    logits = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+                        preferred_element_type=acc,
+                    ) * jnp.asarray(scale, acc)
+                    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                    o = jax.lax.dot_general(
+                        w, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(x.dtype)  # (KW, h, N, dh)
+                    out_ref[0] = o.transpose(0, 2, 1, 3).reshape(KW, N, Ds)
+                    return
                 outs = []
                 for hh in range(heads):
                     q = x[..., hh * dh : (hh + 1) * dh]
                     k = x[..., Ds + hh * dh : Ds + (hh + 1) * dh]
                     v = x[..., 2 * Ds + hh * dh : 2 * Ds + (hh + 1) * dh]
+                    # bf16_core (VERDICT r3 probe (i)): logits/softmax stay bf16 —
+                    # the inputs are bf16 under autocast anyway; only the value
+                    # dot keeps f32 accumulation.
+                    acc = jnp.bfloat16 if mode == "bf16_core" else jnp.float32
                     logits = jax.lax.dot_general(
                         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    ) * scale
+                        preferred_element_type=acc,
+                    ) * jnp.asarray(scale, acc)
                     if mode == "no_softmax":
                         w = logits.astype(x.dtype)
                     else:
@@ -566,7 +590,10 @@ def main():
 
             return run
 
-        for mode in ("baseline", "no_softmax", "no_core", "fulld"):
+        for mode in (
+            "baseline", "no_softmax", "no_core", "fulld",
+            "bf16_core", "batched_heads", "bf16_batched",
+        ):
             try:
                 timed_loop(make_probe(mode), xw, f"s0 attn_probe {mode} (KW={KW})", fl, unit="tf")
             except Exception as e:
