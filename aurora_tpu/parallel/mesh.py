@@ -36,14 +36,60 @@ def make_mesh(
     return Mesh(arr, MESH_AXES)
 
 
-def auto_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Factorise ``n_devices`` into a reasonable (data, lat, lon) shape.
+def auto_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    grid: Optional[tuple[int, int]] = None,
+    window: tuple[int, int, int] = (2, 6, 12),
+    batch: int = 1,
+) -> Mesh:
+    """Factorise ``n_devices`` into a (data, lat, lon) shape.
 
-    Preference: keep ``lon`` largest (longitude is the longest grid axis and is
-    periodic, matching the ICI ring), then ``lat``, then ``data``.
+    Without ``grid``: keep ``lon`` largest (longitude is the longest grid axis and
+    is periodic, matching the ICI ring), then ``lat``, then ``data``.
+
+    With ``grid=(Hp, Wp)`` (the TOKEN grid, H/P × W/P): prefer factorizations whose
+    per-shard grids are window multiples at as many U-Net stages as possible — the
+    alignment condition under which the fused Pallas kernels run per shard
+    (model/swin3d.py `_mesh_kernel_alignment`; docs/parallel.md "mesh-alignment
+    rule"). ``batch`` bounds the data axis (``data | batch``). E.g. at 0.25°
+    (grid (180, 360)) no 8-way (1, lat, lon) split aligns stage 0, but
+    ``batch=2`` → (2, 2, 2) aligns it (where most FLOPs and tokens live).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+
+    def factorizations(n):
+        out = []
+        for d in range(1, n + 1):
+            if n % d or batch % d:
+                continue
+            m = n // d
+            for la in range(1, m + 1):
+                if m % la == 0:
+                    out.append((d, la, m // la))
+        return out
+
+    def aligned_stages(la, lo):
+        """How many consecutive U-Net stages keep whole windows per shard."""
+        Hp, Wp = grid
+        count = 0
+        for _ in range(3):
+            Hpad = Hp + (-Hp) % window[1]
+            Wpad = Wp + (-Wp) % window[2]
+            if Hpad % (window[1] * la) or Wpad % (window[2] * lo):
+                break
+            count += 1
+            Hp, Wp = (Hp + Hp % 2) // 2, (Wp + Wp % 2) // 2
+        return count
+
+    if grid is not None:
+        # Most aligned stages first; ties → larger lon (ICI ring), smaller data.
+        best = max(
+            factorizations(n),
+            key=lambda f: (aligned_stages(f[1], f[2]), f[2], -f[0]),
+        )
+        return make_mesh(*best, devices=devices[:n])
 
     def largest_pow2_factor(x):
         f = 1

@@ -262,20 +262,6 @@ def test_shared_query_resampler_fused_mlp_matches_unfused():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("C,V", [(13, 5), (1, 7)])
-def test_unpatchify_pallas_matches_xla(C, V):
-    """Pallas pixel-shuffle kernel (interpret mode) == the XLA unpatchify."""
-    from aurora_tpu.model.decoder import unpatchify
-    from aurora_tpu.ops.pixelshuffle import unpatchify_pallas
-
-    B, P, Hp, Wp = 2, 4, 6, 10
-    H, W = Hp * P, Wp * P
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, Hp * Wp, C, V * P * P), jnp.float32)
-    want = unpatchify(x, V, H, W, P)  # CPU backend -> XLA path
-    got = unpatchify_pallas(x, V, H, W, P, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-
 @pytest.mark.parametrize(
     "shifts", [(-1, -3, -6), (1, 3, 6), (0, 5, 0), (2, 0, 7), (0, 0, 3), (3, 2, 1)]
 )

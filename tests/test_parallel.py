@@ -233,3 +233,24 @@ def test_sharded_forward_misaligned_grid():
         a, b = np.asarray(ref_atmos[k]), np.asarray(out_atmos[k])
         err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
         assert err < 1e-5, f"atmos {k}: misaligned-shard mismatch {err:.3e}"
+
+
+def test_auto_mesh_alignment_aware():
+    """auto_mesh(grid=...) prefers window-aligned factorizations (the condition for
+    per-shard fused kernels)."""
+    from aurora_tpu.parallel.mesh import auto_mesh
+
+    # 0.25° token grid: no (1, lat, lon) 8-way split aligns stage 0, but data=2
+    # does — with batch=2 available, auto_mesh must pick (2, 2, 2).
+    m = auto_mesh(8, grid=(180, 360), batch=2)
+    assert dict(m.shape) == {"data": 2, "lat": 2, "lon": 2}
+
+    # With batch=1 there is no aligned option at 8; it still returns a valid mesh.
+    m1 = auto_mesh(8, grid=(180, 360), batch=1)
+    assert int(np.prod(list(m1.shape.values()))) == 8
+    assert m1.shape["data"] == 1
+
+    # 4 devices, batch=1: (1, 2, 2) aligns stage 0 — preferred over (1, 1, 4)/(1, 4, 1),
+    # which align none.
+    m4 = auto_mesh(4, grid=(180, 360), batch=1)
+    assert dict(m4.shape) == {"data": 1, "lat": 2, "lon": 2}

@@ -532,38 +532,58 @@ def main():
                     ).astype(x.dtype)
                     return
                 if mode in ("batched_heads", "bf16_batched"):
-                    # All heads' logits in TWO batched dots (h a batch dim) instead
-                    # of the per-head Python loop — VERDICT r3 probe (ii). Costs
-                    # two in-VMEM (N, h) transposes.
-                    acc = jnp.bfloat16 if mode == "bf16_batched" else jnp.float32
-                    qkv4 = x.reshape(KW, N, 3, heads, dh)
-                    q = qkv4[:, :, 0].transpose(0, 2, 1, 3)  # (KW, h, N, dh)
-                    k = qkv4[:, :, 1].transpose(0, 2, 1, 3)
-                    v = qkv4[:, :, 2].transpose(0, 2, 1, 3)
+                    # All heads' logits in TWO single-batch-dim dots instead of the
+                    # per-head Python loop — VERDICT r3 probe (ii). Head slices are
+                    # CONCATenated along the batch axis (lane slices + copies; the
+                    # (N, h) transpose form crashes the Mosaic backend).
+                    q = jnp.concatenate(
+                        [x[..., hh * dh : (hh + 1) * dh] for hh in range(heads)], axis=0
+                    )  # (h·KW, N, dh)
+                    k = jnp.concatenate(
+                        [x[..., Ds + hh * dh : Ds + (hh + 1) * dh] for hh in range(heads)],
+                        axis=0,
+                    )
+                    v = jnp.concatenate(
+                        [
+                            x[..., 2 * Ds + hh * dh : 2 * Ds + (hh + 1) * dh]
+                            for hh in range(heads)
+                        ],
+                        axis=0,
+                    )
                     logits = jax.lax.dot_general(
-                        q, k, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-                        preferred_element_type=acc,
-                    ) * jnp.asarray(scale, acc)
+                        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if mode == "bf16_batched":
+                        logits = logits.astype(x.dtype) * scale
+                    else:
+                        logits = logits * scale
                     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
                     o = jax.lax.dot_general(
-                        w, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                        w, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
-                    ).astype(x.dtype)  # (KW, h, N, dh)
-                    out_ref[0] = o.transpose(0, 2, 1, 3).reshape(KW, N, Ds)
+                    ).astype(x.dtype)  # (h·KW, N, dh)
+                    out_ref[0] = jnp.concatenate(
+                        [o[hh * KW : (hh + 1) * KW] for hh in range(heads)], axis=-1
+                    )
                     return
                 outs = []
                 for hh in range(heads):
                     q = x[..., hh * dh : (hh + 1) * dh]
                     k = x[..., Ds + hh * dh : Ds + (hh + 1) * dh]
                     v = x[..., 2 * Ds + hh * dh : 2 * Ds + (hh + 1) * dh]
-                    # bf16_core (VERDICT r3 probe (i)): logits/softmax stay bf16 —
-                    # the inputs are bf16 under autocast anyway; only the value
-                    # dot keeps f32 accumulation.
-                    acc = jnp.bfloat16 if mode == "bf16_core" else jnp.float32
+                    # bf16_core (VERDICT r3 probe (i)): SOFTMAX runs on bf16
+                    # (Mosaic requires a 32-bit matmul accumulator, so the dot
+                    # stays f32-accumulated and is rounded right after).
                     logits = jax.lax.dot_general(
                         q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=acc,
-                    ) * jnp.asarray(scale, acc)
+                        preferred_element_type=jnp.float32,
+                    )
+                    logits = (
+                        logits.astype(x.dtype) * scale
+                        if mode == "bf16_core"
+                        else logits * scale
+                    )
                     if mode == "no_softmax":
                         w = logits.astype(x.dtype)
                     else:
