@@ -16,6 +16,7 @@ from aurora_tpu.model.aurora import (
     AuroraSmall,
     AuroraSmallPretrained,
     AuroraWave,
+    cast_backbone_params,
 )
 from aurora_tpu.model.config import AuroraConfig
 from aurora_tpu.rollout import rollout, rollout_scan
@@ -36,4 +37,5 @@ __all__ = [
     "Tracker",
     "rollout",
     "rollout_scan",
+    "cast_backbone_params",
 ]

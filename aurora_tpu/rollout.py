@@ -76,8 +76,10 @@ def rollout_scan(
 
     # Mirror forward(): compute in the parameter dtype (encodings stay f32 for bf16
     # trees — the backbone casts internally), so scan and eager rollouts match for
-    # bf16 (serving) and f64 (parity) parameter trees alike.
-    dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    # bf16 (serving) and f64 (parity) parameter trees alike. Inferred from the
+    # encoder subtree: the backbone may be stored bf16 (cast_backbone_params).
+    ref_leaves = params["encoder"] if "encoder" in params else params
+    dtype = jax.tree_util.tree_leaves(ref_leaves)[0].dtype
     enc_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
 
     # Per-step encodings: times advance by cfg.timestep each step.

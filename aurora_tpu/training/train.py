@@ -18,7 +18,13 @@ import optax
 from aurora_tpu.model.aurora import forward_core
 from aurora_tpu.model.config import AuroraConfig
 
-__all__ = ["mae_loss", "make_train_step", "adamw", "lora_mask"]
+__all__ = [
+    "mae_loss",
+    "make_train_step",
+    "make_rollout_train_step",
+    "adamw",
+    "lora_mask",
+]
 
 
 def lora_mask(params) -> dict:
@@ -124,6 +130,87 @@ def make_train_step(
         (``cfg.drop_path`` / ``cfg.drop_rate``); ``None`` = deterministic step."""
         loss, grads = jax.value_and_grad(compute_loss)(
             params, surf, static, atmos, enc, rollout_step, tgt_surf, tgt_atmos, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_rollout_train_step(
+    cfg: AuroraConfig,
+    optimizer: optax.GradientTransformation,
+    atmos_levels: tuple[float, ...],
+    steps: int,
+    loss_fn=mae_loss,
+    trainable=None,
+):
+    """Build a train step that BACKPROPS THROUGH a ``steps``-step autoregressive
+    roll-out — the regime that produces the per-roll-out-step LoRA banks
+    (``lora_mode='all'``/``'from_second'``; reference ships only the single-step
+    loop, finetuning/finetune.py:17-46, and tells users to build this themselves).
+
+    The roll-out runs as one ``lax.scan`` whose body is rematerialised
+    (``jax.checkpoint``): activation memory stays at ONE forward step regardless of
+    ``steps``; the backward replays each step. Per-step losses against the target
+    trajectory are averaged. The per-step absolute-time encodings arrive stacked
+    ``(steps, B, D)`` (build them like :func:`aurora_tpu.rollout.rollout_scan`
+    does, or pass ``enc`` with a leading step axis on ``absolute_time`` /
+    ``dynamic_scalars``).
+
+    Signature: ``(params, opt_state, surf, static, atmos, enc, abs_t_steps,
+    rollout_step0, tgt_surf_steps, tgt_atmos_steps, rng=None)`` where targets have
+    a leading ``steps`` axis and ``abs_t_steps`` is ``(steps, B, embed_dim)``.
+    """
+    import dataclasses as _dc
+
+    def compute_loss(
+        params, surf, static, atmos, enc, abs_t_steps, step0, tgt_surf, tgt_atmos, rng
+    ):
+        if trainable is not None:
+            mask = trainable(params)
+            params = jax.tree_util.tree_map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask
+            )
+
+        @jax.checkpoint
+        def body(carry, xs):
+            surf_c, atmos_c, step, i = carry
+            abs_t_i, tgt_s, tgt_a = xs
+            enc_i = _dc.replace(enc, absolute_time=abs_t_i)
+            k = jax.random.fold_in(rng, i) if rng is not None else None
+            pred_s, pred_a = forward_core(
+                params, surf_c, static, atmos_c, enc_i, step, atmos_levels, cfg,
+                rng=k,
+            )
+            loss_i = loss_fn(pred_s, pred_a, tgt_s, tgt_a)
+            surf_n = {
+                k2: jnp.concatenate([surf_c[k2][:, 1:], pred_s[k2][:, None]], axis=1)
+                for k2 in surf_c
+            }
+            atmos_n = {
+                k2: jnp.concatenate([atmos_c[k2][:, 1:], pred_a[k2][:, None]], axis=1)
+                for k2 in atmos_c
+            }
+            return (surf_n, atmos_n, step + 1, i + 1), loss_i
+
+        (_, _, _, _), losses = jax.lax.scan(
+            body,
+            (surf, atmos, step0, jnp.asarray(0, jnp.int32)),
+            (abs_t_steps, tgt_surf, tgt_atmos),
+            length=steps,
+        )
+        return losses.mean()
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(
+        params, opt_state, surf, static, atmos, enc, abs_t_steps, rollout_step0,
+        tgt_surf_steps, tgt_atmos_steps, rng=None,
+    ):
+        loss, grads = jax.value_and_grad(compute_loss)(
+            params, surf, static, atmos, enc, abs_t_steps, rollout_step0,
+            tgt_surf_steps, tgt_atmos_steps, rng,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

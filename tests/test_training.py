@@ -145,3 +145,96 @@ def test_optimizer_state_inherits_param_sharding(setup):
             assert v.sharding == pshard[k], (
                 f"{name}{k}: {v.sharding} != param {pshard[k]}"
             )
+
+
+def test_rollout_train_step_moves_per_step_lora():
+    """Backprop through a 2-step roll-out (make_rollout_train_step): loss is finite
+    and BOTH roll-out steps' LoRA banks receive gradient (lora_mode='all' selects a
+    different adapter per step — the training regime the reference leaves to the
+    user)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aurora_tpu.model.aurora import Aurora, init_params
+    from aurora_tpu.model.config import SMALL_CONFIG
+    from aurora_tpu.training.train import (
+        adamw,
+        lora_mask,
+        make_rollout_train_step,
+    )
+    from tests.conftest import make_batch
+
+    steps = 2
+    cfg = SMALL_CONFIG.replace(
+        use_lora=True, lora_mode="all", lora_steps=4, remat=True
+    )
+    model = Aurora(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # Zero-init AdaLN modulations make the blocks identity functions (no gradient
+    # reaches the attention branch, hence none reaches LoRA): randomise them.
+    for layers in ("encoder_layers", "decoder_layers"):
+        for layer in params["backbone"][layers]:
+            for blk in layer["blocks"]:
+                for norm in ("norm1", "norm2"):
+                    for leaf in ("weight", "bias"):
+                        shp = blk[norm]["modulation"][leaf].shape
+                        blk[norm]["modulation"][leaf] = 0.05 * jax.random.normal(
+                            jax.random.PRNGKey(len(norm + leaf)), shp
+                        )
+    batch = make_batch(H=17, W=32, dtype=np.float32).crop(cfg.patch_size)
+    levels = tuple(batch.metadata.atmos_levels)
+    enc = model.prepare_encodings(batch)
+
+    surf = {k: jnp.asarray(np.asarray(v)) for k, v in batch.surf_vars.items()}
+    static = {k: jnp.asarray(np.asarray(v)) for k, v in batch.static_vars.items()}
+    atmos = {k: jnp.asarray(np.asarray(v)) for k, v in batch.atmos_vars.items()}
+    B, _, H, W = next(iter(surf.values())).shape
+
+    # Per-step absolute-time encodings (times advance by cfg.timestep).
+    encs = []
+    for i in range(steps):
+        md_i = dc.replace(
+            batch.metadata,
+            time=tuple(t + i * cfg.timestep for t in batch.metadata.time),
+        )
+        encs.append(model.prepare_encodings(dc.replace(batch, metadata=md_i)))
+    abs_t = jnp.stack([e.absolute_time for e in encs])
+
+    tgt_s = {
+        k: jnp.zeros((steps, B, H, W), jnp.float32) for k in cfg.surf_vars
+    }
+    tgt_a = {
+        k: jnp.zeros((steps, B, len(levels), H, W), jnp.float32)
+        for k in cfg.atmos_vars
+    }
+
+    optimizer = adamw(1e-2, trainable=lora_mask)
+    train_step = make_rollout_train_step(
+        cfg, optimizer, levels, steps, trainable=lora_mask
+    )
+    opt_state = optimizer.init(params)
+
+    blk0 = params["backbone"]["encoder_layers"][0]["blocks"][0]["attn"]
+    bank0 = np.asarray(blk0["lora_qkv"]["B"])
+    qkv0 = np.asarray(blk0["qkv"]["weight"])  # snapshot: the step donates params
+    p2, _, loss = train_step(
+        params, opt_state, surf, static, atmos, enc, abs_t,
+        jnp.asarray(0, jnp.int32), tgt_s, tgt_a,
+    )
+    assert np.isfinite(float(loss))
+    bank1 = np.asarray(
+        p2["backbone"]["encoder_layers"][0]["blocks"][0]["attn"]["lora_qkv"]["B"]
+    )
+    # Banks 0 and 1 (used at roll-out steps 0/1) moved; banks 2+ (never selected)
+    # stayed zero.
+    assert not np.allclose(bank0[0], bank1[0])
+    assert not np.allclose(bank0[1], bank1[1])
+    assert np.allclose(bank1[2], 0.0) and np.allclose(bank1[3], 0.0)
+    # Frozen base weights did not move (LoRA-only recipe).
+    np.testing.assert_array_equal(
+        qkv0,
+        np.asarray(p2["backbone"]["encoder_layers"][0]["blocks"][0]["attn"]["qkv"]["weight"]),
+    )

@@ -57,6 +57,12 @@ def main():
 
     model = Aurora(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # Serving configuration: backbone weights stored bf16 (bitwise-identical
+    # backbone compute under autocast — the kernels cast per use anyway). Saves
+    # ~2.4 GiB of HBM: program total 15.7 -> 13.3 GiB on the 15.75 GiB v5e.
+    from aurora_tpu.model.aurora import cast_backbone_params
+
+    params = cast_backbone_params(params)
     enc = model.prepare_encodings(batch, dtype=jnp.float32)
     surf = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.surf_vars.items()}
     static = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.static_vars.items()}
