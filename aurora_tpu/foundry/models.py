@@ -42,10 +42,19 @@ class ServedModel:
         if path.endswith(".ckpt"):
             from aurora_tpu.checkpoint import load_torch_checkpoint
 
-            return load_torch_checkpoint(path, self.model.cfg, dtype=jnp.float32)
-        from aurora_tpu.checkpoint import restore_params
+            params = load_torch_checkpoint(path, self.model.cfg, dtype=jnp.float32)
+        else:
+            from aurora_tpu.checkpoint import restore_params
 
-        return restore_params(path)
+            params = restore_params(path)
+        if self.model.cfg.autocast:
+            # Serving memory: the backbone computes in bf16 under autocast, so bf16
+            # STORAGE is bitwise-identical and halves the largest parameter block —
+            # this is what fits the 0.1° model on a 16 GB chip (BASELINE.md).
+            from aurora_tpu.model.aurora import cast_backbone_params
+
+            params = cast_backbone_params(params)
+        return params
 
     def run(self, batch: Batch, num_steps: int) -> Generator[Batch, None, None]:
         """Run the roll-out, yielding host-resident predictions."""

@@ -305,6 +305,7 @@ def window_attention_apply(
             B, C1, H1, W1, N, D
         )
 
+    # XLA path (impl == "xla": CPU/GPU, or a mesh stage the kernels don't cover).
     if on_mesh:
         qkv = with_lora("lora_qkv", x, linear(p["qkv"], x))  # (B, C1, H1, W1, N, 3D)
     else:
@@ -313,24 +314,18 @@ def window_attention_apply(
             B, C1, H1, W1, N, 3 * D
         )
 
-    if impl == "pallas":
-        # Consumes the packed (qkv, head, dh) layout directly: no head transposes.
-        out = _sdpa_windows_fused_pallas(
-            qkv.reshape(B, nW, N, 3 * D), num_heads, groups
-        ).reshape(B, C1, H1, W1, N, D)
-    else:
-        qkv = qkv.reshape(B, C1, H1, W1, N, 3, num_heads, D // num_heads)
-        qkv = jnp.moveaxis(qkv, 5, 0)  # (3, B, C1, H1, W1, N, h, dh)
-        qkv = jnp.swapaxes(qkv, -2, -3)  # (3, B, C1, H1, W1, h, N, dh)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        bias = None
-        if groups is not None:
-            g = jnp.asarray(groups).reshape(C1, H1, W1, N)
-            bias = jnp.where(g[..., :, None] == g[..., None, :], 0.0, -100.0).astype(
-                jnp.float32
-            )[None, :, :, :, None, :, :]
-        out = sdpa(q, k, v, bias=bias)  # (B, C1, H1, W1, h, N, dh)
-        out = jnp.swapaxes(out, -2, -3).reshape(B, C1, H1, W1, N, D)
+    qkv = qkv.reshape(B, C1, H1, W1, N, 3, num_heads, D // num_heads)
+    qkv = jnp.moveaxis(qkv, 5, 0)  # (3, B, C1, H1, W1, N, h, dh)
+    qkv = jnp.swapaxes(qkv, -2, -3)  # (3, B, C1, H1, W1, h, N, dh)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    bias = None
+    if groups is not None:
+        g = jnp.asarray(groups).reshape(C1, H1, W1, N)
+        bias = jnp.where(g[..., :, None] == g[..., None, :], 0.0, -100.0).astype(
+            jnp.float32
+        )[None, :, :, :, None, :, :]
+    out = sdpa(q, k, v, bias=bias)  # (B, C1, H1, W1, h, N, dh)
+    out = jnp.swapaxes(out, -2, -3).reshape(B, C1, H1, W1, N, D)
     if not project:
         # Caller fuses proj+AdaLN+residual after un-windowing (see swin_block_apply).
         return out
@@ -482,6 +477,12 @@ def _sdpa_windows_fused_pallas(
     (those cost ~4 full-tensor relayouts per block). Heads are lane slices of the packed
     (qkv, head, dh) feature dim inside VMEM. ``interpret=True`` runs the kernel in the
     Pallas interpreter (any backend) so CI can assert equivalence with the XLA path.
+
+    Production routing uses the qkv-FUSED kernels below (LoRA folds into the weights,
+    so this pre-fusion variant left the hot path in round 3); it stays as the direct
+    test vehicle for the shared attention core's mask/padding semantics
+    (tests/test_kernels.py injects garbage into padded qkv rows — impossible to
+    express through the fused kernels, whose qkv never exists as an input).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -826,82 +827,6 @@ def _attn_windows_5d_fused_pallas(
     from aurora_tpu.ops.ad import kernel_with_xla_grad
 
     return kernel_with_xla_grad(kernel_call, xla_ref)(*inputs)
-
-
-def _sdpa_windows_pallas(q, k, v, groups):
-    """Pallas TPU kernel: masked SDPA over windows, one (window-block, head) grid step.
-
-    ``q, k, v``: ``(B, nW, h, N, dh)``. The (N, N) logits and the softmax live entirely
-    in VMEM — XLA's generic lowering materialises them in HBM (hundreds of MB per layer
-    at 0.25 deg, the dominant attention cost). The mask is a host-precomputed per-window
-    additive bias (cached per geometry, see aurora_tpu/ops/masks.py), streamed per block.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, nW, h, N, dh = q.shape
-    masked = groups is not None
-    scale = 1.0 / math.sqrt(dh)
-
-    per_window = N * 4 * dh * q.dtype.itemsize + (N * N * 4 if masked else 0)
-    budget = max(1, (1024 * 1024) // per_window)
-    KW = 1
-    for cand in range(min(nW, budget), 0, -1):
-        if nW % cand == 0:
-            KW = cand
-            break
-
-    def kernel(*args):
-        if masked:
-            b_ref, q_ref, k_ref, v_ref, out_ref = args
-        else:
-            q_ref, k_ref, v_ref, out_ref = args
-        qb = q_ref[0, :, 0]  # (KW, N, dh)
-        kb = k_ref[0, :, 0]
-        vb = v_ref[0, :, 0]
-        logits = (
-            jax.lax.dot_general(
-                qb, kb,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
-        )  # (KW, N, N)
-        if masked:
-            logits = logits + b_ref[...]
-        w = jax.nn.softmax(logits, axis=-1).astype(vb.dtype)
-        out_ref[0, :, 0] = jax.lax.dot_general(
-            w, vb,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(vb.dtype)
-
-    spec = pl.BlockSpec(
-        (1, KW, 1, N, dh), lambda b, i, hh: (b, i, hh, 0, 0), memory_space=pltpu.VMEM
-    )
-    in_specs = [spec, spec, spec]
-    inputs = [q, k, v]
-    if masked:
-        in_specs.insert(
-            0,
-            pl.BlockSpec((KW, N, N), lambda b, i, hh: (i, 0, 0), memory_space=pltpu.VMEM),
-        )
-        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
-
-    return pl.pallas_call(
-        kernel,
-        grid=(B, nW // KW, h),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, KW, 1, N, dh), lambda b, i, hh: (b, i, hh, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, nW, h, N, dh), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * nW * h * N * N * dh,
-            bytes_accessed=4 * q.size * q.dtype.itemsize,
-            transcendentals=B * nW * h * N * N,
-        ),
-    )(*inputs)
 
 
 # ------------------------------------------------------- mesh (shard_map) kernels
