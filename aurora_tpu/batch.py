@@ -55,11 +55,16 @@ class Metadata:
     def __post_init__(self):
         # Validate any CONCRETE data — host NumPy arrays and committed jax.Arrays
         # alike (Batch.astype produces the latter; reference validates all inputs,
-        # aurora/batch.py:40-68). Tracers (inside jit/scan) are skipped: the pytree
-        # unflatten path bypasses __post_init__, and direct construction under a
-        # trace cannot be checked without host values.
-        if isinstance(self.lat, jax.core.Tracer) or isinstance(self.lon, jax.core.Tracer):
-            return
+        # aurora/batch.py:40-68). Skipped for tracers (inside jit/scan — the pytree
+        # unflatten path bypasses __post_init__ anyway) and for jax.Arrays whose
+        # shards are not all on this host (multi-process: fetching would deadlock).
+        # Note reading a device array here costs one device→host sync; keep lat/lon
+        # as NumPy (the framework itself always does) to avoid it.
+        for arr in (self.lat, self.lon):
+            if isinstance(arr, jax.core.Tracer):
+                return
+            if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+                return
         lat, lon = np.asarray(self.lat), np.asarray(self.lon)
         if not (np.all(lat <= 90) and np.all(lat >= -90)):
             raise ValueError("Latitudes must be in the range [-90, 90].")

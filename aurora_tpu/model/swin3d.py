@@ -45,6 +45,7 @@ from aurora_tpu.model.nn import (
     sdpa,
     trunc_normal_init,
 )
+from aurora_tpu.ops.ad import force_interpret as _force_interpret
 from aurora_tpu.ops.mlp import (
     linear_adaln_residual_fused,
     mlp_adaln_residual_fused,
@@ -70,15 +71,6 @@ _VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
 _ATTN5D_VMEM_MB = int(os.environ.get("AURORA_ATTN5D_VMEM_MB", "64"))
 
 
-def _force_interpret() -> bool:
-    """CI/test hook: run every Pallas kernel in interpret mode on any backend.
-
-    Lets the block-level routing (5D kernel, in-kernel tails, LoRA folding) run in CI
-    on CPU — not just the kernels in isolation.
-    """
-    return os.environ.get("AURORA_PALLAS_INTERPRET", "0") == "1"
-
-
 def _pick_window_row_batch(
     W1: int, ws2: int, per_window: int, budget_mb: int | None
 ) -> int | None:
@@ -90,7 +82,7 @@ def _pick_window_row_batch(
     fastest (tools/backbone_ablate.py --variants attn5d), so the budget is generous
     (64 MB default, AURORA_ATTN5D_VMEM_MB) and the largest fitting candidate wins.
     """
-    budget = (budget_mb or _ATTN5D_VMEM_MB) * 1024 * 1024
+    budget = (_ATTN5D_VMEM_MB if budget_mb is None else budget_mb) * 1024 * 1024
     cands = [
         c for c in range(1, W1 + 1)
         if W1 % c == 0 and (c == W1 or (c * ws2) % 8 == 0)
@@ -106,7 +98,8 @@ def _attn5d_per_window(N: int, D: int, itemsize: int) -> int:
 
 
 def _pick_window_batch(nW: int, per_window: int, budget_mb: int | None) -> int:
-    budget = max(1, ((budget_mb or _ATTN_VMEM_MB) * 1024 * 1024) // per_window)
+    mb = _ATTN_VMEM_MB if budget_mb is None else budget_mb
+    budget = max(1, (mb * 1024 * 1024) // per_window)
     for cand in range(min(nW, budget), 0, -1):
         if nW % cand == 0:
             return cand
@@ -245,8 +238,13 @@ def window_attention_apply(
     cfg: BackboneConfig,
     project: bool = True,
     tail=None,
+    impl: str | None = None,
 ) -> jax.Array:
     """W-MSA over windows ``x: (B, C1, H1, W1, N, D)``.
+
+    ``impl``: the RESOLVED implementation from the block-level routing (falls back
+    to ``cfg.attention_impl`` for standalone use). Under GSPMD mesh axes it is
+    always forced to XLA — the mesh kernel path lives at the block level.
 
     ``groups`` are per-token communication-group ids ``(nW, N)`` (NumPy, traced-static)
     or ``None`` for unmasked windows. Two layout regimes (measured:
@@ -273,10 +271,15 @@ def window_attention_apply(
             )
         return out
 
-    impl = cfg.attention_impl
+    impl = impl or cfg.attention_impl
     if impl == "auto":
         kernel_ok = jax.default_backend() == "tpu" or _force_interpret()
         impl = "pallas" if (kernel_ok and not on_mesh) else "xla"
+    if on_mesh:
+        # Under GSPMD (Auto) axes a bare Pallas custom call breaks partitioning —
+        # the mesh path routes through shard_map at the BLOCK level instead
+        # (_attn5d_mesh_sharded); whatever the caller asked for, use XLA here.
+        impl = "xla"
     if impl == "pallas_windowed":
         impl = "pallas"  # A/B escape hatch: the pre-5D windowed kernel path
 
@@ -550,7 +553,9 @@ def _sdpa_windows_fused_pallas(
 
     from aurora_tpu.ops.ad import kernel_with_xla_grad
 
-    return kernel_with_xla_grad(kernel_call, xla_ref)(*inputs)
+    return kernel_with_xla_grad(
+        kernel_call, xla_ref, const_argnums=(0,) if masked else ()
+    )(*inputs)
 
 
 def _attn_windows_qkv_fused_pallas(
@@ -672,7 +677,9 @@ def _attn_windows_qkv_fused_pallas(
 
     from aurora_tpu.ops.ad import kernel_with_xla_grad
 
-    return kernel_with_xla_grad(kernel_call, xla_ref)(*inputs)
+    return kernel_with_xla_grad(
+        kernel_call, xla_ref, const_argnums=(0,) if masked else ()
+    )(*inputs)
 
 
 def _attn_windows_5d_fused_pallas(
@@ -826,7 +833,9 @@ def _attn_windows_5d_fused_pallas(
 
     from aurora_tpu.ops.ad import kernel_with_xla_grad
 
-    return kernel_with_xla_grad(kernel_call, xla_ref)(*inputs)
+    return kernel_with_xla_grad(
+        kernel_call, xla_ref, const_argnums=(0,) if masked else ()
+    )(*inputs)
 
 
 # ------------------------------------------------------- mesh (shard_map) kernels
@@ -1117,7 +1126,7 @@ def swin_block_apply(
         windows = window_partition(xp, ws)  # (B, C1, H1, W1, N, D)
         attn = window_attention_apply(
             p["attn"], windows, num_heads, groups, rollout_step, cfg,
-            project=not fuse_attn_tail, tail=tail,
+            project=not fuse_attn_tail, tail=tail, impl=aimpl,
         )
         xp = window_reverse(attn, ws, Cp, Hp, Wp)
     x = crop_3d(xp, pad)
@@ -1408,7 +1417,11 @@ def backbone_apply(
 
     # Per-block stochastic-depth ramp, 0 → cfg.drop_path over the encoder blocks;
     # decoder layers index the same ramp by decoder depths (reference:
-    # aurora/model/swin3d.py:813,829,851).
+    # aurora/model/swin3d.py:811-813,829,851 — which asserts equal sums; unequal
+    # sums would silently truncate the decoder's rate slices here).
+    assert sum(cfg.encoder_depths) == sum(cfg.decoder_depths), (
+        cfg.encoder_depths, cfg.decoder_depths
+    )
     dpr = np.linspace(0.0, cfg.drop_path, sum(cfg.encoder_depths))
     enc_dpr = [
         tuple(dpr[sum(cfg.encoder_depths[:i]) : sum(cfg.encoder_depths[: i + 1])])

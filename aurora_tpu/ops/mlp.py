@@ -17,6 +17,7 @@ import os
 import jax
 import jax.numpy as jnp
 
+from aurora_tpu.ops.ad import force_interpret as _force_interpret
 from aurora_tpu.ops.ad import kernel_with_xla_grad
 
 __all__ = ["mlp_fused", "mlp_adaln_residual_fused", "linear_adaln_residual_fused"]
@@ -38,12 +39,6 @@ __all__ = ["mlp_fused", "mlp_adaln_residual_fused", "linear_adaln_residual_fused
 _VMEM_LIMIT = int(os.environ.get("AURORA_VMEM_LIMIT_MB", "120")) * 2**20
 _ROW_TILE_CAP = int(os.environ.get("AURORA_ROW_TILE_CAP", "512"))
 _HIDDEN_CHUNK = int(os.environ.get("AURORA_HIDDEN_CHUNK", "2048"))
-
-
-def _force_interpret() -> bool:
-    """CI/test hook (AURORA_PALLAS_INTERPRET=1): run the kernels in interpret mode on
-    any backend so block-level routing can be exercised on CPU."""
-    return os.environ.get("AURORA_PALLAS_INTERPRET", "0") == "1"
 
 
 def _largest_row_tile(rows: int, max_tile: int) -> int:

@@ -31,12 +31,12 @@ def roll3d_pallas(
     x: jax.Array, shifts: tuple[int, int, int], interpret: bool = False
 ) -> jax.Array:
     """``jnp.roll(x, shifts, axis=(1, 2, 3))`` for ``x: (B, C, H, W, D)``, one pass."""
-    import os
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    interpret = interpret or os.environ.get("AURORA_PALLAS_INTERPRET", "0") == "1"
+    from aurora_tpu.ops.ad import force_interpret
+
+    interpret = interpret or force_interpret()
     B, C, H, W, D = x.shape
     s0, s1, s2 = (int(s) % n for s, n in zip(shifts, (C, H, W)))
     if s0 == 0 and s1 == 0 and s2 == 0:

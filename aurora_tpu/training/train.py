@@ -160,13 +160,18 @@ def make_rollout_train_step(
     ``dynamic_scalars``).
 
     Signature: ``(params, opt_state, surf, static, atmos, enc, abs_t_steps,
-    rollout_step0, tgt_surf_steps, tgt_atmos_steps, rng=None)`` where targets have
-    a leading ``steps`` axis and ``abs_t_steps`` is ``(steps, B, embed_dim)``.
+    rollout_step0, tgt_surf_steps, tgt_atmos_steps, rng=None, dyn_steps=None)``
+    where targets have a leading ``steps`` axis, ``abs_t_steps`` is
+    ``(steps, B, embed_dim)``, and ``dyn_steps`` is the per-step dynamic
+    time-feature stack ``(steps, B, 6)`` — REQUIRED for ``cfg.dynamic_vars``
+    models (air pollution), whose time-of-day/week/year features advance every
+    roll-out step.
     """
     import dataclasses as _dc
 
     def compute_loss(
-        params, surf, static, atmos, enc, abs_t_steps, step0, tgt_surf, tgt_atmos, rng
+        params, surf, static, atmos, enc, abs_t_steps, step0, tgt_surf, tgt_atmos,
+        rng, dyn_steps,
     ):
         if trainable is not None:
             mask = trainable(params)
@@ -177,8 +182,11 @@ def make_rollout_train_step(
         @jax.checkpoint
         def body(carry, xs):
             surf_c, atmos_c, step, i = carry
-            abs_t_i, tgt_s, tgt_a = xs
-            enc_i = _dc.replace(enc, absolute_time=abs_t_i)
+            abs_t_i, dyn_i, tgt_s, tgt_a = xs
+            enc_i = _dc.replace(
+                enc, absolute_time=abs_t_i,
+                **({"dynamic_scalars": dyn_i} if dyn_i is not None else {}),
+            )
             k = jax.random.fold_in(rng, i) if rng is not None else None
             pred_s, pred_a = forward_core(
                 params, surf_c, static, atmos_c, enc_i, step, atmos_levels, cfg,
@@ -198,7 +206,7 @@ def make_rollout_train_step(
         (_, _, _, _), losses = jax.lax.scan(
             body,
             (surf, atmos, step0, jnp.asarray(0, jnp.int32)),
-            (abs_t_steps, tgt_surf, tgt_atmos),
+            (abs_t_steps, dyn_steps, tgt_surf, tgt_atmos),
             length=steps,
         )
         return losses.mean()
@@ -206,11 +214,16 @@ def make_rollout_train_step(
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(
         params, opt_state, surf, static, atmos, enc, abs_t_steps, rollout_step0,
-        tgt_surf_steps, tgt_atmos_steps, rng=None,
+        tgt_surf_steps, tgt_atmos_steps, rng=None, dyn_steps=None,
     ):
+        if cfg.dynamic_vars and dyn_steps is None:
+            raise ValueError(
+                "cfg.dynamic_vars models need the per-step dynamic time features: "
+                "pass dyn_steps of shape (steps, B, 6)."
+            )
         loss, grads = jax.value_and_grad(compute_loss)(
             params, surf, static, atmos, enc, abs_t_steps, rollout_step0,
-            tgt_surf_steps, tgt_atmos_steps, rng,
+            tgt_surf_steps, tgt_atmos_steps, rng, dyn_steps,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
