@@ -177,3 +177,51 @@ def test_interactive_field_data_url():
     url = field_data_url(field, lon, "viridis", -2, 2, dpi=50)
     assert url.startswith("data:image/png;base64,")
     assert len(url) > 500
+
+
+def test_served_model_casts_backbone_for_autocast(tmp_path):
+    """ServedModel._load_params stores the backbone in bf16 for autocast models
+    (the 16 GB serving configuration) and leaves f32 models untouched."""
+    from aurora_tpu.checkpoint import save_params
+
+    cfg = AuroraConfig(
+        embed_dim=64,
+        num_heads=4,
+        encoder_depths=(1, 1),
+        encoder_num_heads=(2, 4),
+        decoder_depths=(1, 1),
+        decoder_num_heads=(4, 2),
+        window_size=(2, 4, 4),
+        latent_levels=2,
+        use_lora=False,
+        autocast=True,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    path = str(tmp_path / "tiny_params")
+    save_params(params, path)
+
+    class Served(ServedModel):
+        name = "tiny-autocast"
+        model_cls = None
+
+        def __init__(self):
+            self.model = Aurora(cfg)
+            self.params = self._load_params()
+
+    foundry_models.ARTIFACTS["tiny-autocast"] = path
+    try:
+        served = Served()
+    finally:
+        del foundry_models.ARTIFACTS["tiny-autocast"]
+
+    bb_leaf = jax.tree_util.tree_leaves(served.params["backbone"])[0]
+    enc_leaf = jax.tree_util.tree_leaves(served.params["encoder"])[0]
+    assert bb_leaf.dtype == jnp.bfloat16
+    assert enc_leaf.dtype == jnp.float32
+    # And the served model still runs end to end.
+    batch = make_batch(
+        H=17, W=32, levels=(500, 850), dtype=np.float32
+    )
+    preds = list(served.run(batch, num_steps=1))
+    assert len(preds) == 1
+    assert np.isfinite(np.asarray(preds[0].surf_vars["2t"])).all()
