@@ -254,3 +254,66 @@ def test_auto_mesh_alignment_aware():
     # which align none.
     m4 = auto_mesh(4, grid=(180, 360), batch=1)
     assert dict(m4.shape) == {"data": 1, "lat": 2, "lon": 2}
+
+
+def test_variant_models_sharded_match_single_device():
+    """The EXOTIC variant machinery under the shard-local mesh path: dynamic time
+    features, atmos-static vars, level-conditioned embeds/heads, the separate
+    chemistry perceiver and modulation heads (air pollution), and the NaN/density/
+    angle machinery (wave) must all survive the shard_map encoder/decoder."""
+    from aurora_tpu import AuroraAirPollution, AuroraWave
+    from aurora_tpu.parallel.mesh import make_mesh
+    from tests.test_parity_variants import (
+        SMALL_ARCH,
+        LEVELS,
+        make_pollution_batch,
+        make_wave_batch,
+    )
+
+    cases = [
+        (
+            AuroraAirPollution(
+                **SMALL_ARCH,
+                level_condition=tuple(int(x) for x in LEVELS),
+                use_lora=False,
+            ),
+            make_pollution_batch(H=13, W=24),  # crop -> 12x24: patch-3-aligned on (2,2)
+        ),
+        (
+            AuroraWave(**SMALL_ARCH, use_lora=False),
+            make_wave_batch(H=17, W=32),  # crop -> 16x32: patch-4-aligned on (2,2)
+        ),
+    ]
+    mesh = make_mesh(data=1, lat=2, lon=2)
+    for model, batch in cases:
+        batch = batch.astype(np.float32)
+        batch = model.batch_transform_hook(batch).crop(model.cfg.patch_size)
+        params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+        enc = model.prepare_encodings(batch)
+        surf = {k: jnp.asarray(np.asarray(v)) for k, v in batch.surf_vars.items()}
+        static = {k: jnp.asarray(np.asarray(v)) for k, v in batch.static_vars.items()}
+        atmos = {k: jnp.asarray(np.asarray(v)) for k, v in batch.atmos_vars.items()}
+        step = jnp.asarray(0, jnp.int32)
+        levels = tuple(batch.metadata.atmos_levels)
+
+        ref_surf, ref_atmos = jax.jit(
+            forward_core, static_argnames=("atmos_levels", "cfg")
+        )(params, surf, static, atmos, enc, step, atmos_levels=levels, cfg=model.cfg)
+        with jax.set_mesh(mesh):
+            p_sh = shard_params(params, mesh)
+            s_sh, st_sh, a_sh = shard_batch_arrays(surf, static, atmos, mesh)
+            out_surf, out_atmos = jax.jit(
+                forward_core, static_argnames=("atmos_levels", "cfg")
+            )(p_sh, s_sh, st_sh, a_sh, enc, step, atmos_levels=levels, cfg=model.cfg)
+
+        name = type(model).__name__
+        for k in ref_surf:
+            a, b = np.asarray(ref_surf[k]), np.asarray(out_surf[k])
+            np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=f"{name} {k}")
+            a, b = np.nan_to_num(a), np.nan_to_num(b)
+            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+            assert err < 2e-5, f"{name} surf {k}: sharded mismatch {err:.3e}"
+        for k in ref_atmos:
+            a, b = np.asarray(ref_atmos[k]), np.asarray(out_atmos[k])
+            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-30)
+            assert err < 2e-5, f"{name} atmos {k}: sharded mismatch {err:.3e}"
