@@ -6,6 +6,7 @@ float64 encoding precompute, GSPMD/shard_map multi-chip parallelism, and Pallas 
 on the hot paths.
 """
 
+from aurora_tpu import metrics
 from aurora_tpu.batch import Batch, Metadata
 from aurora_tpu.model.aurora import (
     Aurora,
@@ -38,4 +39,5 @@ __all__ = [
     "rollout",
     "rollout_scan",
     "cast_backbone_params",
+    "metrics",
 ]
