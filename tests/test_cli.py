@@ -1,0 +1,72 @@
+"""CLI driver (python -m aurora_tpu): forecast + evaluate round trip."""
+
+import json
+
+import numpy as np
+import pytest
+
+from aurora_tpu import Batch
+from aurora_tpu.cli import main
+from tests.conftest import make_batch
+
+
+@pytest.fixture(scope="module")
+def forecast_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    ic = tmp / "ic.nc"
+    make_batch(H=17, W=32, dtype=np.float32).to_netcdf(ic)
+    out = tmp / "preds"
+    rc = main(
+        [
+            "forecast",
+            "--model",
+            "AuroraSmallPretrained",
+            "--random-init",
+            "--input",
+            str(ic),
+            "--steps",
+            "2",
+            "--output-dir",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    return out
+
+
+def test_forecast_writes_prediction_files(forecast_dir):
+    files = sorted(p.name for p in forecast_dir.iterdir())
+    assert files == ["prediction-000.nc", "prediction-001.nc"]
+    pred = Batch.from_netcdf(forecast_dir / "prediction-001.nc")
+    assert pred.surf_vars["2t"].shape == (1, 1, 16, 32)
+    assert pred.atmos_vars["t"].shape == (1, 1, 4, 16, 32)
+    assert pred.metadata.rollout_step == 2
+    assert np.isfinite(np.asarray(pred.surf_vars["msl"])).all()
+
+
+def test_evaluate_prediction_against_itself(forecast_dir, capsys):
+    p = str(forecast_dir / "prediction-000.nc")
+    rc = main(["evaluate", "--pred", p, "--target", p])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["pred"] == p
+    assert out["scores"]["2t"]["rmse"] == 0.0
+    assert out["scores"]["t"]["rmse"] == [0.0, 0.0, 0.0, 0.0]  # per level
+    assert "acc" not in out["scores"]["2t"]  # no climatology given
+
+
+def test_evaluate_mismatched_lists(tmp_path, capsys):
+    f = tmp_path / "x.nc"
+    make_batch(H=9, W=16, dtype=np.float32).to_netcdf(f)
+    rc = main(["evaluate", "--pred", str(f), str(f), "--target", str(f)])
+    assert rc == 2
+
+
+def test_unknown_model(tmp_path):
+    f = tmp_path / "ic.nc"
+    make_batch(H=9, W=16, dtype=np.float32).to_netcdf(f)
+    rc = main(
+        ["forecast", "--model", "NotAModel", "--random-init", "--input", str(f),
+         "--output-dir", str(tmp_path / "o")]
+    )
+    assert rc == 2
