@@ -62,6 +62,29 @@ def test_evaluate_mismatched_lists(tmp_path, capsys):
     assert rc == 2
 
 
+def test_forecast_from_orbax_checkpoint(tmp_path):
+    """--checkpoint <dir> restores Orbax-saved params (the native save format)."""
+    import jax
+
+    from aurora_tpu import AuroraSmallPretrained, checkpoint
+
+    model = AuroraSmallPretrained()
+    params = model.init(jax.random.PRNGKey(3))
+    ckpt_dir = tmp_path / "ckpt"
+    checkpoint.save_params(params, str(ckpt_dir))
+
+    ic = tmp_path / "ic.nc"
+    make_batch(H=17, W=32, dtype=np.float32).to_netcdf(ic)
+    out = tmp_path / "preds"
+    rc = main(
+        ["forecast", "--model", "AuroraSmallPretrained", "--checkpoint", str(ckpt_dir),
+         "--input", str(ic), "--steps", "1", "--output-dir", str(out)]
+    )
+    assert rc == 0
+    pred = Batch.from_netcdf(out / "prediction-000.nc")
+    assert np.isfinite(np.asarray(pred.surf_vars["2t"])).all()
+
+
 def test_unknown_model(tmp_path):
     f = tmp_path / "ic.nc"
     make_batch(H=9, W=16, dtype=np.float32).to_netcdf(f)
