@@ -64,7 +64,7 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
         pass
 
     from aurora_tpu.batch import Batch, Metadata
-    from aurora_tpu.model.aurora import Aurora, init_params
+    from aurora_tpu.model.aurora import Aurora, cast_backbone_params, init_params
     from aurora_tpu.model.config import LARGE_CONFIG
 
     # The PRODUCTION config: the flagship released checkpoint
@@ -78,6 +78,11 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     model = Aurora(cfg)
     log(f"initialising 1.3B params (use_lora={use_lora}) ...")
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    # bf16 backbone weight STORAGE: bitwise-identical compute under autocast
+    # (tests/test_smoke.py::test_cast_backbone_params_bitwise_under_autocast), the
+    # serving default (foundry/models.py), −2.6 GiB HBM and ~1% faster
+    # (tools/bf16_weights_probe.py: 0.803 vs 0.810 s/step same-run).
+    params = cast_backbone_params(params)
 
     data = make_numpy_batch()
     batch = Batch(
