@@ -34,6 +34,8 @@ __all__ = [
     "load_torch_checkpoint",
     "save_params",
     "restore_params",
+    "save_train_state",
+    "restore_train_state",
 ]
 
 _RESAMPLER_RE = re.compile(
@@ -472,16 +474,63 @@ def load_checkpoint(
 
 def save_params(params, path: str) -> None:
     """Save a parameter pytree with Orbax (sharding-aware, async-capable)."""
+    import os
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params, force=True)
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
 
 
 def restore_params(path: str, like=None):
     """Restore a parameter pytree saved by :func:`save_params`."""
+    import os
+
     import orbax.checkpoint as ocp
 
+    path = os.path.abspath(path)  # Orbax requires absolute paths
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, like) if like is not None else ckptr.restore(path)
+
+
+def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
+    """Save a full training state (params + optimiser state + step) with Orbax.
+
+    The reference has no training persistence at all (load-only checkpoints,
+    SURVEY §5); this provides the resume story for long fine-tunes. ``opt_state``
+    is any optax state pytree (AdamW moments, ``optax.masked`` wrappers,
+    ``MultiSteps`` counters, ...).
+    """
+    import os
+
+    import jax.numpy as _jnp
+    import orbax.checkpoint as ocp
+
+    state = {"params": params, "opt_state": opt_state, "step": _jnp.asarray(step, _jnp.int32)}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, like_params, like_opt_state):
+    """Restore ``(params, opt_state, step)`` saved by :func:`save_train_state`.
+
+    ``like_params`` / ``like_opt_state`` provide the tree structure (build them with
+    ``model.init`` + ``optimizer.init``) so optax's NamedTuple state types survive
+    the round trip; restored arrays adopt their shardings when restoring under a
+    mesh.
+    """
+    import os
+
+    import jax.numpy as _jnp
+    import orbax.checkpoint as ocp
+
+    like = {
+        "params": like_params,
+        "opt_state": like_opt_state,
+        "step": _jnp.asarray(0, _jnp.int32),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.abspath(path), like)
+    return out["params"], out["opt_state"], int(out["step"])

@@ -238,3 +238,37 @@ def test_rollout_train_step_moves_per_step_lora():
         qkv0,
         np.asarray(p2["backbone"]["encoder_layers"][0]["blocks"][0]["attn"]["qkv"]["weight"]),
     )
+
+
+def test_train_state_save_restore_resumes_identically(setup, tmp_path):
+    """save_train_state/restore_train_state round-trips optax state: a resumed run
+    continues bit-identically to the uninterrupted one (the reference has no training
+    persistence at all — SURVEY §5 checkpoint/resume)."""
+    from aurora_tpu.checkpoint import restore_train_state, save_train_state
+
+    model, params, (surf, static, atmos, enc, step), levels, (tgt_surf, tgt_atmos) = setup
+    optimizer = adamw(1e-3)
+    train_step = make_train_step(model.cfg, optimizer, levels)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    p = copy(params)
+    o = optimizer.init(p)
+    p1, o1, _ = train_step(p, o, surf, static, atmos, enc, step, tgt_surf, tgt_atmos)
+
+    save_train_state(str(tmp_path / "state"), p1, o1, step=1)
+    p1r, o1r, step_r = restore_train_state(
+        str(tmp_path / "state"), copy(p1), copy(o1)
+    )
+    assert step_r == 1
+    # Restored trees match the saved ones exactly (structure AND values).
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), p1, p1r
+    )
+
+    # An uninterrupted second step and a resumed second step agree bitwise.
+    p2a, o2a, la = train_step(copy(p1), copy(o1), surf, static, atmos, enc, step, tgt_surf, tgt_atmos)
+    p2b, o2b, lb = train_step(p1r, o1r, surf, static, atmos, enc, step, tgt_surf, tgt_atmos)
+    assert float(la) == float(lb)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), p2a, p2b
+    )
