@@ -24,6 +24,10 @@ import os
 import sys
 
 
+class CLIError(Exception):
+    """A user-facing CLI failure (bad path, bad flag combination); exits with code 2."""
+
+
 def _model_registry():
     import aurora_tpu as a
 
@@ -47,11 +51,15 @@ def _load_params(args, model):
 
     if args.random_init:
         params = model.init(jax.random.PRNGKey(args.seed))
-    elif args.checkpoint and os.path.isdir(args.checkpoint):
-        params = checkpoint.restore_params(args.checkpoint)
     elif args.checkpoint:
-        params = checkpoint.load_torch_checkpoint(args.checkpoint, model.cfg)
+        if not os.path.exists(args.checkpoint):
+            raise CLIError(f"checkpoint not found: {args.checkpoint}")
+        if os.path.isdir(args.checkpoint):
+            params = checkpoint.restore_params(args.checkpoint)
+        else:
+            params = checkpoint.load_torch_checkpoint(args.checkpoint, model.cfg)
     else:
+        # No source given, or --hf: the variant's pinned HF repo/revision.
         params = checkpoint.load_checkpoint(model)
     if model.cfg.autocast and not args.no_bf16_backbone:
         params = cast_backbone_params(params)
@@ -110,20 +118,24 @@ def cmd_evaluate(args) -> int:
         scores = metrics.evaluate(
             Batch.from_netcdf(pred_path), Batch.from_netcdf(target_path), climatology=clim
         )
-        flat: dict[str, dict[str, float | list]] = {}
+        # Keyed by group (like metrics.evaluate) so a variable name present in
+        # both surf_vars and atmos_vars can never silently overwrite the other.
+        nested: dict[str, dict[str, dict[str, float | list]]] = {}
         for group in ("surf_vars", "atmos_vars"):
-            for var, ms in scores[group].items():
-                # Scalars for surface vars (mean over batch/time), per-level lists
-                # for atmospheric ones.
-                flat[var] = {
+            nested[group] = {
+                var: {
                     k: (
+                        # Scalars for surface vars (mean over batch/time),
+                        # per-level lists for atmospheric ones.
                         np.asarray(v).mean(axis=tuple(range(np.ndim(v) - 1))).round(6).tolist()
                         if group == "atmos_vars"
                         else round(float(np.asarray(v).mean()), 6)
                     )
                     for k, v in ms.items()
                 }
-        out.append({"pred": pred_path, "target": target_path, "scores": flat})
+                for var, ms in scores[group].items()
+            }
+        out.append({"pred": pred_path, "target": target_path, "scores": nested})
     print(json.dumps(out if len(out) > 1 else out[0]))
     return 0
 
@@ -163,7 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except CLIError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -133,6 +133,16 @@ def evaluate(
         ones, so per-level scores fall out without extra reshaping.
     """
     lat = pred.metadata.lat
+    # Same-shaped arrays on a different grid (e.g. flipped latitude order) would
+    # score silently wrong — pin the coordinates, not just the shapes (ADVICE r3).
+    for other, label in ((target, "target"), *(((climatology, "climatology"),) if climatology is not None else ())):
+        for coord in ("lat", "lon"):
+            a = np.asarray(getattr(pred.metadata, coord))
+            b = np.asarray(getattr(other.metadata, coord))
+            if a.shape != b.shape or not np.allclose(a, b):
+                raise ValueError(
+                    f"{label} batch is on a different grid: metadata.{coord} differs from pred's"
+                )
     out: dict[str, dict[str, dict[str, jax.Array]]] = {"surf_vars": {}, "atmos_vars": {}}
     for group in ("surf_vars", "atmos_vars"):
         preds = getattr(pred, group)

@@ -50,9 +50,11 @@ def test_evaluate_prediction_against_itself(forecast_dir, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["pred"] == p
-    assert out["scores"]["2t"]["rmse"] == 0.0
-    assert out["scores"]["t"]["rmse"] == [0.0, 0.0, 0.0, 0.0]  # per level
-    assert "acc" not in out["scores"]["2t"]  # no climatology given
+    # Scores are keyed by group so surf/atmos variables with the same name
+    # can never collide (ADVICE r3).
+    assert out["scores"]["surf_vars"]["2t"]["rmse"] == 0.0
+    assert out["scores"]["atmos_vars"]["t"]["rmse"] == [0.0, 0.0, 0.0, 0.0]  # per level
+    assert "acc" not in out["scores"]["surf_vars"]["2t"]  # no climatology given
 
 
 def test_evaluate_mismatched_lists(tmp_path, capsys):
@@ -83,6 +85,19 @@ def test_forecast_from_orbax_checkpoint(tmp_path):
     assert rc == 0
     pred = Batch.from_netcdf(out / "prediction-000.nc")
     assert np.isfinite(np.asarray(pred.surf_vars["2t"])).all()
+
+
+def test_missing_checkpoint_path_is_clean_error(tmp_path, capsys):
+    """A mistyped --checkpoint path exits 2 with a friendly message, not a traceback."""
+    f = tmp_path / "ic.nc"
+    make_batch(H=9, W=16, dtype=np.float32).to_netcdf(f)
+    rc = main(
+        ["forecast", "--model", "AuroraSmallPretrained", "--checkpoint",
+         str(tmp_path / "nope.ckpt"), "--input", str(f),
+         "--output-dir", str(tmp_path / "o")]
+    )
+    assert rc == 2
+    assert "checkpoint not found" in capsys.readouterr().err
 
 
 def test_unknown_model(tmp_path):

@@ -107,3 +107,18 @@ def test_evaluate_errors():
     bad.surf_vars["2t"] = bad.surf_vars["2t"][:, :1]
     with pytest.raises(ValueError):
         metrics.evaluate(pred, bad)
+
+
+def test_evaluate_rejects_different_grid():
+    """Same shapes, different grid (flipped latitudes) must raise, not mis-score."""
+    import dataclasses
+
+    pred = make_batch(H=9, W=16)
+    shifted = make_batch(H=9, W=16)
+    shifted.metadata = dataclasses.replace(shifted.metadata, lat=shifted.metadata.lat * 0.9)
+    with pytest.raises(ValueError, match="different grid"):
+        metrics.evaluate(pred, shifted)
+    # And via the climatology argument too.
+    target = make_batch(H=9, W=16)
+    with pytest.raises(ValueError, match="different grid"):
+        metrics.evaluate(pred, target, climatology=shifted)
