@@ -58,8 +58,12 @@ def _load_params(args, model):
             params = checkpoint.restore_params(args.checkpoint)
         else:
             params = checkpoint.load_torch_checkpoint(args.checkpoint, model.cfg)
+    elif args.hf:
+        # Explicit --hf: the variant's pinned HF repo/revision.
+        params = checkpoint.load_checkpoint(model)
     else:
-        # No source given, or --hf: the variant's pinned HF repo/revision.
+        # No source given: the HF hub is the default. Kept as a separate branch
+        # from --hf so the flag stays correct if this default ever changes.
         params = checkpoint.load_checkpoint(model)
     if model.cfg.autocast and not args.no_bf16_backbone:
         params = cast_backbone_params(params)

@@ -58,12 +58,20 @@ def window_group_ids(
     ws: tuple[int, int, int],
     ss: tuple[int, int, int],
     warped: bool = True,
+    extra: tuple[int, int, int] = (0, 0, 0),
 ) -> np.ndarray:
     """Communication-group id of every token in every window, shape ``(nW, N)`` int32.
 
     Tokens attend to each other iff their group ids are equal. The token grid of shape
     ``(C, H, W)`` is assumed to be cyclically shifted by ``-ss`` and then centre-padded
     to multiples of ``ws``; padded tokens get a fresh group id so they are masked out.
+
+    ``extra`` appends that many additional padded planes/rows/columns AFTER the centre
+    pad (each entry a multiple of the corresponding window size — i.e. whole extra
+    windows). Whole pad-only windows never change which window any real token falls
+    into, so attention output at real positions is bit-identical to ``extra=(0,0,0)``;
+    this is how the mesh path over-pads shard-misaligned grids (e.g. the 0.25° serving
+    shape over 8 chips) while preserving exact single-device numerics.
     """
     img = np.zeros((C, H, W), dtype=np.int32)
     c_slices = (slice(0, -ws[0]), slice(-ws[0], -ss[0]), slice(-ss[0], None))
@@ -87,6 +95,13 @@ def window_group_ids(
         ((front, back), (top, bottom), (left, right)),
         constant_values=cnt,
     )
+    if any(extra):
+        assert all(e % w == 0 for e, w in zip(extra, ws)), (extra, ws)
+        img = np.pad(
+            img,
+            ((0, extra[0]), (0, extra[1]), (0, extra[2])),
+            constant_values=cnt,
+        )
 
     Cp, Hp, Wp = img.shape
     img = img.reshape(Cp // ws[0], ws[0], Hp // ws[1], ws[1], Wp // ws[2], ws[2])

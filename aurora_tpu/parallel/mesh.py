@@ -48,13 +48,15 @@ def auto_mesh(
     Without ``grid``: keep ``lon`` largest (longitude is the longest grid axis and
     is periodic, matching the ICI ring), then ``lat``, then ``data``.
 
-    With ``grid=(Hp, Wp)`` (the TOKEN grid, H/P × W/P): prefer factorizations whose
-    per-shard grids are window multiples at as many U-Net stages as possible — the
-    alignment condition under which the fused Pallas kernels run per shard
-    (model/swin3d.py `_mesh_kernel_alignment`; docs/parallel.md "mesh-alignment
-    rule"). ``batch`` bounds the data axis (``data | batch``). E.g. at 0.25°
-    (grid (180, 360)) no 8-way (1, lat, lon) split aligns stage 0, but
-    ``batch=2`` → (2, 2, 2) aligns it (where most FLOPs and tokens live).
+    With ``grid=(Hp, Wp)`` (the TOKEN grid, H/P × W/P): the fused per-shard kernels
+    now stay on for ANY (lat, lon) factorization — shard-misaligned stages are
+    over-padded to window × mesh multiples with whole pad-only windows
+    (model/swin3d.py `swin_block_apply`) — so the preference becomes the
+    factorization that minimises the total over-padding overhead (wasted pad
+    tokens) across the U-Net stages. ``batch`` bounds the data axis
+    (``data | batch``). E.g. at 0.25° (grid (180, 360)) with ``batch=2``,
+    (2, 2, 2) is exactly aligned (zero padding) and wins over (1, 2, 4), which
+    over-pads stages 0-1 by ~7-14%.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
@@ -70,24 +72,32 @@ def auto_mesh(
                     out.append((d, la, m // la))
         return out
 
-    def aligned_stages(la, lo):
-        """How many consecutive U-Net stages keep whole windows per shard."""
+    def pad_overhead(la, lo):
+        """Weighted relative over-padding across the 3 U-Net stages (0.0 = none).
+
+        Stage weights (1, 0.75, 0.5): the per-stage GEMM FLOPs are flat through
+        the U-Net (tokens quarter, D doubles → tokens·D² constant) but attention
+        FLOPs and HBM token traffic halve per stage (tokens·D), so earlier stages
+        cost more per wasted pad token.
+        """
         Hp, Wp = grid
-        count = 0
-        for _ in range(3):
+        total = 0.0
+        for weight in (1.0, 0.75, 0.5):
             Hpad = Hp + (-Hp) % window[1]
             Wpad = Wp + (-Wp) % window[2]
-            if Hpad % (window[1] * la) or Wpad % (window[2] * lo):
-                break
-            count += 1
+            Hover = Hpad + (-Hpad) % (window[1] * la)
+            Wover = Wpad + (-Wpad) % (window[2] * lo)
+            total += weight * ((Hover * Wover) / (Hpad * Wpad) - 1.0)
             Hp, Wp = (Hp + Hp % 2) // 2, (Wp + Wp % 2) // 2
-        return count
+        return total
 
     if grid is not None:
-        # Most aligned stages first; ties → larger lon (ICI ring), smaller data.
-        best = max(
+        # Least over-padding first; ties → larger data (the cheapest axis: no halos,
+        # gradient all-reduce only), then larger lon (the longitude wrap rides the
+        # ICI ring, and lat=1 keeps H-shift halos shard-local).
+        best = min(
             factorizations(n),
-            key=lambda f: (aligned_stages(f[1], f[2]), f[2], -f[0]),
+            key=lambda f: (round(pad_overhead(f[1], f[2]), 9), -f[0], -f[2]),
         )
         return make_mesh(*best, devices=devices[:n])
 

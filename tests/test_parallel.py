@@ -235,23 +235,26 @@ def test_sharded_forward_misaligned_grid():
         assert err < 1e-5, f"atmos {k}: misaligned-shard mismatch {err:.3e}"
 
 
-def test_auto_mesh_alignment_aware():
-    """auto_mesh(grid=...) prefers window-aligned factorizations (the condition for
-    per-shard fused kernels)."""
+def test_auto_mesh_minimises_over_padding():
+    """auto_mesh(grid=...) minimises the over-padding overhead: since round 4 the
+    fused kernels run per shard under ANY factorization (shard-misaligned stages
+    over-pad to window × mesh multiples), so the preference is the split that
+    wastes the fewest pad tokens."""
     from aurora_tpu.parallel.mesh import auto_mesh
 
-    # 0.25° token grid: no (1, lat, lon) 8-way split aligns stage 0, but data=2
-    # does — with batch=2 available, auto_mesh must pick (2, 2, 2).
+    # 0.25° token grid with batch=2: (2, 2, 2) is exactly aligned at stages 0 and 2
+    # (zero padding) — beats every (1, lat, lon) split, which all over-pad stage 0.
     m = auto_mesh(8, grid=(180, 360), batch=2)
     assert dict(m.shape) == {"data": 2, "lat": 2, "lon": 2}
 
-    # With batch=1 there is no aligned option at 8; it still returns a valid mesh.
+    # The SERVING shape (batch=1, 8 chips): (1, 1, 8) — W over-pads 360→384 at
+    # stage 0 (6.7%) and 180→192 at stage 1, every H-shift halo stays shard-local,
+    # and the longitude wrap rides the 8-ring.
     m1 = auto_mesh(8, grid=(180, 360), batch=1)
-    assert int(np.prod(list(m1.shape.values()))) == 8
-    assert m1.shape["data"] == 1
+    assert dict(m1.shape) == {"data": 1, "lat": 1, "lon": 8}
 
-    # 4 devices, batch=1: (1, 2, 2) aligns stage 0 — preferred over (1, 1, 4)/(1, 4, 1),
-    # which align none.
+    # 4 devices, batch=1: (1, 2, 2) aligns stage 0 exactly — preferred over
+    # (1, 1, 4)/(1, 4, 1), which over-pad the (heaviest) stage 0.
     m4 = auto_mesh(4, grid=(180, 360), batch=1)
     assert dict(m4.shape) == {"data": 1, "lat": 2, "lon": 2}
 
