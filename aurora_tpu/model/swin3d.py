@@ -1429,7 +1429,13 @@ def _run_blocks(
     dp_rates: tuple[float, ...] = (), rng=None,
 ):
     """``dp_rates``: per-block stochastic-depth rates (empty = all 0); ``rng``: PRNG
-    key for the stochastic ops, folded per block (``None`` = deterministic)."""
+    key for the stochastic ops, folded per block (``None`` = deterministic).
+
+    With ``cfg.remat`` the layer itself is ALSO wrapped in ``jax.checkpoint`` (see
+    :func:`_layer_apply`): the reference checkpoints Basic3DEncoder/DecoderLayer *and*
+    Swin3DTransformerBlock (aurora.py:508-515), i.e. nested remat — only layer inputs
+    stay resident across the whole backward; per-block boundaries materialise one
+    layer at a time during that layer's recompute."""
     block = swin_block_apply
     if cfg.remat:
         block = jax.checkpoint(
@@ -1445,6 +1451,15 @@ def _run_blocks(
         k = jax.random.fold_in(rng, i) if rng is not None else None
         x = block(bp, x, c, res, shift, num_heads, rollout_step, cfg, True, dp, k)
     return x
+
+
+def _layer_apply(p, x, c, res, num_heads, rollout_step, cfg, dp_rates, rng):
+    """One U-Net stage (= reference Basic3DEncoder/DecoderLayer) with nested remat."""
+    if cfg.remat:
+        run = jax.checkpoint(_run_blocks, static_argnums=(3, 4, 6, 7))
+    else:
+        run = _run_blocks
+    return run(p, x, c, res, num_heads, rollout_step, cfg, dp_rates, rng)
 
 
 def backbone_apply(
@@ -1510,9 +1525,9 @@ def backbone_apply(
     skips = []
     for i, layer in enumerate(params["encoder_layers"]):
         k = jax.random.fold_in(rng, i) if rng is not None else None
-        x = _run_blocks(
+        x = _layer_apply(
             layer, x, c, all_enc_res[i], cfg.encoder_num_heads[i], rollout_step, cfg,
-            dp_rates=enc_dpr[i], rng=k,
+            enc_dpr[i], k,
         )
         skips.append(x)
         if "downsample" in layer:
@@ -1523,9 +1538,9 @@ def backbone_apply(
     for i, layer in enumerate(params["decoder_layers"]):
         index = n_dec - i - 1
         k = jax.random.fold_in(rng, 100 + i) if rng is not None else None
-        x = _run_blocks(
+        x = _layer_apply(
             layer, x, c, all_enc_res[index], cfg.decoder_num_heads[i], rollout_step, cfg,
-            dp_rates=dec_dpr[i], rng=k,
+            dec_dpr[i], k,
         )
         if "upsample" in layer:
             x = constrain(
