@@ -152,12 +152,11 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
     """
     B, Cp, L, D = x.shape
     dtype = x.dtype
-    if cfg.deagg_bf16 and dtype == jnp.float32:
-        # Production throughput mode (see AuroraConfig.deagg_bf16): the de-agg input
-        # already carries backbone-autocast bf16 rounding, so running the cross-
-        # attention itself in bf16 adds error of the same order (~1e-3 rel).
-        x = x.astype(jnp.bfloat16)
-        level_embed = level_embed.astype(jnp.bfloat16)
+    # Production throughput mode (see AuroraConfig.deagg_bf16): the VALUE path of
+    # the de-aggregation runs in bf16 while q/k/logits stay f32 — raw dot-product
+    # logits are magnitude-sensitive to input rounding (see
+    # resampler_shared_query_apply docstring; tools/production_drift.py).
+    value_bf16 = bool(cfg.deagg_bf16) and dtype == jnp.float32
     ctx = x.reshape(Cp, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(Cp, B * L, D)
     from aurora_tpu.model.swin3d import mesh_active
 
@@ -170,6 +169,7 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
         fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
+        value_bf16=value_bf16,
     )
     return out.reshape(B, L, *out.shape[1:]).astype(dtype)
 

@@ -124,12 +124,12 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     """
     B, C_A, L, D = x.shape
     dtype = x.dtype
-    if cfg.agg_bf16 and dtype == jnp.float32:
-        # Production throughput mode (see AuroraConfig.agg_bf16): the aggregated
-        # latents are rounded to bf16 by the autocast backbone immediately after,
-        # so running the aggregation itself in bf16 adds one rounding of the
-        # perceiver stack (~1e-3 rel).
-        x = x.astype(jnp.bfloat16)
+    # Production throughput mode (see AuroraConfig.agg_bf16): the VALUE path of the
+    # aggregation (v / out-proj / MLP — the dominant GEMMs) runs in bf16; q/k/logits
+    # stay f32. Running q/k in bf16 too was measured at 2e-1 end-to-end error (raw
+    # dot-product logits are magnitude-sensitive); the value-only split is ~4e-3
+    # (see resampler_shared_query_apply docstring; tools/production_drift.py).
+    value_bf16 = bool(cfg.agg_bf16) and dtype == jnp.float32
     latents = p["atmos_latents"].astype(x.dtype)  # (C_l, D)
     C_l = latents.shape[0]
     # Keep the level axis major: transposing (C_A, L) with tiny C_A runs far below
@@ -147,6 +147,7 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
         fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
+        value_bf16=value_bf16,
     )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3).astype(dtype)
 

@@ -110,6 +110,7 @@ def resampler_shared_query_apply(
     chunk_size=None,
     k_major: bool = False,
     fuse_mlp: bool = False,
+    value_bf16: bool = False,
 ) -> jax.Array:
     """Resampler specialised for queries that are IDENTICAL for every context row.
 
@@ -129,6 +130,15 @@ def resampler_shared_query_apply(
 
     ``chunk_size`` bounds peak memory by lax.map-ing over column blocks —
     bit-identical to the single-shot path (rows are independent).
+
+    ``value_bf16`` (the production ``agg_bf16``/``deagg_bf16`` mode) runs only the
+    VALUE path — the v-projection, attention-weighted sum, out-projection and MLP,
+    i.e. the FLOP- and bandwidth-dominant GEMMs — in bf16, while q/k/logits stay
+    f32. The split matters: this is raw dot-product attention (unlike the backbone's
+    cosine-bounded swin logits), so bf16-rounding q/k perturbs logits by ~0.4% of
+    their MAGNITUDE, which softmax turns into O(1) weight error whenever logits are
+    large — measured 2e-1 end-to-end vs 4e-3 for the value-only split
+    (tools/production_drift.py decomposition, 2026-08-20).
     """
     if k_major:
         K, M, D = ctx.shape
@@ -160,9 +170,22 @@ def resampler_shared_query_apply(
         "qhd,hk->hdkq", qh, jnp.eye(num_heads, dtype=qh.dtype)
     ).reshape(inner, num_heads * Q)
 
+    def split_kv(c):
+        """k/v projections; under ``value_bf16`` k stays f32, only v runs bf16."""
+        att = l0["attn"]
+        if not value_bf16:
+            kv = linear(att["to_kv"], c)
+            return jnp.split(kv, 2, axis=-1)
+        w = att["to_kv"]["weight"]
+        k = c @ w[:, :inner]
+        v = c.astype(jnp.bfloat16) @ w[:, inner:].astype(jnp.bfloat16)
+        if "bias" in att["to_kv"]:
+            k = k + att["to_kv"]["bias"][:inner]
+            v = v + att["to_kv"]["bias"][inner:].astype(v.dtype)
+        return k, v
+
     def columns_k_major(c):  # (K, m, D) -> (m, Q, D)
-        kv = linear(l0["attn"]["to_kv"], c)
-        k, v = jnp.split(kv, 2, axis=-1)  # (K, m, inner)
+        k, v = split_kv(c)  # (K, m, inner)
         if "ln_k" in l0["attn"]:
             k = layernorm(l0["attn"]["ln_k"], k)
         logits = jax.lax.dot_general(
@@ -190,8 +213,7 @@ def resampler_shared_query_apply(
         if k_major:
             attn = columns_k_major(c)
         else:
-            kv = linear(l0["attn"]["to_kv"], c)
-            k, v = jnp.split(kv, 2, axis=-1)
+            k, v = split_kv(c)
             if "ln_k" in l0["attn"]:
                 k = layernorm(l0["attn"]["ln_k"], k)
             k = k.reshape(*k.shape[:-1], num_heads, dh)
@@ -224,6 +246,8 @@ def resampler_shared_query_apply(
             ).reshape(lat.shape)
         else:
             lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=ln_eps) + lat
+        if value_bf16 and len(layers) > 1:
+            lat = lat.astype(jnp.float32)  # deeper (row-dependent) layers stay f32
         for layer in layers[1:]:
             c_m = jnp.swapaxes(c, 0, 1) if k_major else c  # generic layers are M-major
             attn_out = layernorm(

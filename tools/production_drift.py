@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""End-to-end numerics of the PRODUCTION inference mode over a 10-step roll-out.
+
+VERDICT r3 weak #4 / next-round #3: the bench headline runs the production stack
+(``autocast`` bf16 backbone + ``agg_bf16``/``deagg_bf16`` perceiver cores +
+``cast_backbone_params`` bf16 weight storage + LoRA folded into the kernels), but
+the parity number printed next to it was the f32 path's. This tool measures the
+production mode's own multi-step drift: it rolls the FULL flagship model out
+10 steps in reference f32 mode, stores the predictions host-side, reruns the same
+roll-out in production mode, and writes ``PRODUCTION_DRIFT.json`` with per-step
+per-group relative errors. ``bench.py`` reports the result as
+``rollout10_production_vs_f32_rel_err``.
+
+Two traps this tool must avoid (both would silently understate drift):
+
+* Fresh-init params make every swin block an adaLN-zero identity (the FiLM gates
+  are zero-init), bypassing the bf16 backbone entirely — so the gates are opened
+  with small random modulations, simulating a trained checkpoint.
+* Fresh-init LoRA has B = 0 (zero correction), so the kernel weight-fold would be
+  trivially exact — B is randomised too.
+
+Roll-out semantics follow the reference contract (aurora/rollout.py:33-49): each
+step's prediction is concatenated onto the rolling history and fed back.
+
+Usage: python tools/production_drift.py [--steps 10] [--H 721 --W 1440] [--small]
+"""
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def open_gates_and_lora(params, scale_mod=0.05, scale_b=0.02):
+    """Randomise the zero-init FiLM modulations and LoRA B banks (see docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    def f(path, v):
+        ks = jtu.keystr(path)
+        if "modulation" in ks and ks.endswith("'weight']"):
+            return scale_mod * jax.random.normal(
+                jax.random.PRNGKey(hash(ks) % (2**31)), v.shape, v.dtype
+            )
+        if "lora" in ks and ks.endswith("'B']"):
+            return scale_b * jax.random.normal(
+                jax.random.PRNGKey(hash(ks) % (2**31)), v.shape, v.dtype
+            )
+        return v
+
+    return jtu.tree_map_with_path(f, params)
+
+
+def run_rollout(mode: str, steps: int, H: int, W: int, small: bool):
+    """Roll out ``steps`` steps in ``mode`` ('f32' | 'production'); return host preds.
+
+    Returns ``[{var: np.ndarray(B, H, W) | (B, C, H, W)}, ...]`` per step (surface
+    and atmos merged with distinct keys).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from bench import LEVELS, make_numpy_batch
+    from aurora_tpu.batch import Batch, Metadata
+    from aurora_tpu.model.aurora import Aurora, cast_backbone_params, forward_core, init_params
+    from aurora_tpu.model.config import LARGE_CONFIG, AuroraConfig
+
+    base = LARGE_CONFIG
+    if small:
+        base = AuroraConfig(
+            embed_dim=64, encoder_depths=(2, 2, 2), encoder_num_heads=(2, 4, 8),
+            decoder_depths=(2, 2, 2), decoder_num_heads=(8, 4, 2),
+            latent_levels=2, patch_size=2, window_size=(1, 4, 4), num_heads=4,
+            perceiver_ln_eps=1e-4,
+        )
+    if mode == "production":
+        cfg = base.replace(
+            autocast=True, agg_chunk_size=None if small else 8192,
+            deagg_bf16=True, agg_bf16=True, use_lora=True,
+        )
+    else:
+        cfg = base.replace(
+            autocast=False, agg_chunk_size=None if small else 8192,
+            deagg_bf16=False, agg_bf16=False, use_lora=True,
+        )
+    model = Aurora(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = open_gates_and_lora(params)
+    if mode == "production":
+        params = cast_backbone_params(params)
+
+    import bench as _bench
+
+    _H_FULL, _W = _bench.H_FULL, _bench.W
+    _bench.H_FULL, _bench.W = H, W
+    try:
+        data = make_numpy_batch()
+    finally:
+        _bench.H_FULL, _bench.W = _H_FULL, _W
+    levels = LEVELS if not small else LEVELS[:4]
+    if small:
+        data["atmos"] = {k: v[:, :, :4] for k, v in data["atmos"].items()}
+    batch = Batch(
+        surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
+        metadata=Metadata(
+            lat=data["lat"], lon=data["lon"], time=data["time"], atmos_levels=levels
+        ),
+    ).crop(cfg.patch_size)
+    enc = model.prepare_encodings(batch, dtype=jnp.float32)
+    surf = {k: jnp.asarray(v) for k, v in batch.surf_vars.items()}
+    static = {k: jnp.asarray(v) for k, v in batch.static_vars.items()}
+    atmos = {k: jnp.asarray(v) for k, v in batch.atmos_vars.items()}
+    lv = tuple(float(x) for x in levels)
+    fwd = jax.jit(partial(forward_core, atmos_levels=lv, cfg=cfg))
+
+    preds = []
+    t0 = time.time()
+    for i in range(steps):
+        out_s, out_a = fwd(params, surf, static, atmos, enc, jnp.asarray(i, jnp.int32))
+        step_host = {f"surf:{k}": np.asarray(v) for k, v in out_s.items()}
+        step_host.update({f"atmos:{k}": np.asarray(v) for k, v in out_a.items()})
+        preds.append(step_host)
+        surf = {k: jnp.concatenate([surf[k][:, 1:], out_s[k][:, None]], 1) for k in surf}
+        atmos = {k: jnp.concatenate([atmos[k][:, 1:], out_a[k][:, None]], 1) for k in atmos}
+    print(f"[{mode}] {steps} steps in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+    return preds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--H", type=int, default=721)
+    ap.add_argument("--W", type=int, default=1440)
+    ap.add_argument("--small", action="store_true", help="CPU-sized smoke config")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PRODUCTION_DRIFT.json",
+        ),
+    )
+    args = ap.parse_args()
+    if args.small:
+        # The smoke config runs on CPU (the JAX_PLATFORMS env var is overridden by
+        # the axon plugin on this host; the config update is not).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    ref = run_rollout("f32", args.steps, args.H, args.W, args.small)
+    gc.collect()
+    prod = run_rollout("production", args.steps, args.H, args.W, args.small)
+
+    per_step = []
+    for i, (r, p) in enumerate(zip(ref, prod)):
+        errs = {}
+        for k in r:
+            scale = float(np.abs(r[k]).max()) + 1e-30
+            errs[k] = float(np.abs(p[k] - r[k]).max()) / scale
+        per_step.append(
+            {
+                "step": i + 1,
+                "max_rel_err": max(errs.values()),
+                "surf_max": max(v for k, v in errs.items() if k.startswith("surf:")),
+                "atmos_max": max(v for k, v in errs.items() if k.startswith("atmos:")),
+                "worst_var": max(errs, key=errs.get),
+            }
+        )
+        print(
+            f"step {i+1}: max_rel_err {per_step[-1]['max_rel_err']:.3e} "
+            f"(worst {per_step[-1]['worst_var']})",
+            file=sys.stderr, flush=True,
+        )
+
+    result = {
+        "config": "small" if args.small else "LARGE 1.3B",
+        "grid": [args.H, args.W],
+        "steps": args.steps,
+        "production_stack": "autocast + agg_bf16 + deagg_bf16 + cast_backbone_params + LoRA fold",
+        "max_rel_err": max(s["max_rel_err"] for s in per_step),
+        "final_step_rel_err": per_step[-1]["max_rel_err"],
+        "per_step": per_step,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "per_step"}))
+
+
+if __name__ == "__main__":
+    main()
