@@ -123,6 +123,22 @@ def _gelu_exact(x, accurate: bool = True):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476, accurate=accurate))
 
 
+def _gelu_rounded(h):
+    """Exact GELU on an already input-dtype-rounded tensor, with a NARROW residual.
+
+    Numerically identical to ``gelu(h.astype(f32)).astype(h.dtype)``, but the
+    ``jax.checkpoint`` makes the value saved for the backward the *rounded* input
+    (bf16 under autocast) — the f32 upcast is recomputed in the backward. Without
+    it, the largest train-step temps at 0.25° are the f32 ``(259200, 2048)``
+    pre-GELU hiddens (1.98 GiB each) the vjp would otherwise keep live across each
+    block's backward.
+    """
+    fn = jax.checkpoint(
+        lambda t: jax.nn.gelu(t.astype(jnp.float32), approximate=False).astype(t.dtype)
+    )
+    return fn(h)
+
+
 def mlp_fused(
     x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array, b2: jax.Array,
     interpret: bool = False,
@@ -207,9 +223,7 @@ def mlp_fused(
             x2, w1, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1
-        hid = jax.nn.gelu(
-            hid.astype(x2.dtype).astype(jnp.float32), approximate=False
-        ).astype(x2.dtype)
+        hid = _gelu_rounded(hid.astype(x2.dtype))
         out = jax.lax.dot_general(
             hid, w2, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -340,9 +354,7 @@ def mlp_adaln_residual_fused(
             x2, w1, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1
-        hid = jax.nn.gelu(
-            hid.astype(x2.dtype).astype(jnp.float32), approximate=False
-        ).astype(x2.dtype)
+        hid = _gelu_rounded(hid.astype(x2.dtype))
         y = (
             jax.lax.dot_general(
                 hid, w2, dimension_numbers=(((1,), (0,)), ((), ())),

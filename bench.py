@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_numpy_batch(seed=0):
+def make_numpy_batch(seed=0, B=B):
     rng = np.random.default_rng(seed)
     return dict(
         surf={k: rng.standard_normal((B, T, H_FULL, W)).astype(np.float32) for k in SURF},
@@ -44,7 +44,7 @@ def make_numpy_batch(seed=0):
         },
         lat=np.linspace(90, -90, H_FULL),
         lon=np.linspace(0, 360, W, endpoint=False),
-        time=(datetime(2020, 6, 1, 12),),
+        time=tuple(datetime(2020, 6, 1, 12) for _ in range(B)),
     )
 
 
