@@ -365,6 +365,35 @@ def window_attention_apply(
     )
 
 
+def _softmax_rounded(logits, out_dtype):
+    """Softmax rounded to ``out_dtype``, whose backward uses the ROUNDED weights.
+
+    The plain vjp of ``softmax(f32).astype(bf16)`` keeps the f32 softmax output as
+    a residual — at 0.25° stage 0 that is the largest train-step temp (2 × 1.98 GiB
+    f32[1800,8,144,144], with 1.78× lane padding on top). The rounded-residual
+    backward ``dl = w ⊙ (g − Σ g⊙w)`` with bf16 ``w`` matches what the reference
+    pays under torch bf16 autocast (its SDPA backward is all-bf16), ~0.4% gradient
+    rounding. Exact (residual identical) when ``out_dtype`` is f32.
+    """
+
+    @jax.custom_vjp
+    def f(lg):
+        return jax.nn.softmax(lg, axis=-1).astype(out_dtype)
+
+    def fwd(lg):
+        w = jax.nn.softmax(lg, axis=-1).astype(out_dtype)
+        return w, w
+
+    def bwd(w, g):
+        wf = w.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        dl = wf * (gf - jnp.sum(gf * wf, axis=-1, keepdims=True))
+        return (dl,)
+
+    f.defvjp(fwd, bwd)
+    return f(logits)
+
+
 def _heads_attention_xla(x, bias, num_heads: int):
     """Plain-XLA per-head masked attention over packed windows ``(B, nW, N, 3D)``.
 
@@ -382,11 +411,30 @@ def _heads_attention_xla(x, bias, num_heads: int):
     ) * (1.0 / math.sqrt(dh))
     if bias is not None:
         logits = logits + bias[None, :, None, :, :]
-    wgt = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    wgt = _softmax_rounded(logits, x.dtype)
     attn = jnp.einsum(
         "bwhqk,bwkhd->bwqhd", wgt, v, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     return attn.reshape(B, nW, N, D)
+
+
+def _bwd_window_chunk(nW: int, bytes_per_window: int, budget: int | None = None) -> int:
+    """Largest divisor of ``nW`` whose per-chunk backward transient fits ``budget``.
+
+    The window axis is embarrassingly parallel in window attention, so the
+    backward recompute can scan over chunks of windows instead of materialising
+    the f32 logits for every window at once. Returns ``nW`` (no chunking) when
+    the whole thing fits. Budget override (tests / tuning):
+    ``AURORA_BWD_CHUNK_MIB`` (default 192)."""
+    if budget is None:
+        budget = int(os.environ.get("AURORA_BWD_CHUNK_MIB", "192")) * 2**20
+    if nW * bytes_per_window <= budget:
+        return nW
+    best = 1
+    for d in range(1, nW + 1):
+        if nW % d == 0 and d * bytes_per_window <= budget:
+            best = d
+    return best
 
 
 def _attn_tail_xla_ref(xw, wqkv, bqkv, rest, bias, num_heads: int, ln_eps: float):
@@ -396,12 +444,45 @@ def _attn_tail_xla_ref(xw, wqkv, bqkv, rest, bias, num_heads: int, ln_eps: float
     autodiff backward of the fused attention kernels (ops/ad.py)."""
     B, nW, N, D = xw.shape
     x2 = xw.reshape(B, nW * N, D)
-    qkv = jax.lax.dot_general(
-        x2, wqkv,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(xw.dtype) + bqkv
-    attn = _heads_attention_xla(qkv.reshape(B, nW, N, 3 * D), bias, num_heads)
+
+    def qkv_attn(x2_, wqkv_, bqkv_):
+        qkv = jax.lax.dot_general(
+            x2_, wqkv_,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(xw.dtype) + bqkv_
+        return _heads_attention_xla(qkv.reshape(B, nW, N, 3 * D), bias, num_heads)
+
+    # Recompute the qkv projection in the backward instead of keeping the (M, 3D)
+    # tensor live (1.32 GiB per stage-0 block at 0.25°) — the same remat the fused
+    # kernel performs by construction (qkv never exists in HBM on its path).
+    # When even the transient f32 logits of the recompute are large (stage 0 at
+    # 0.25°: ~2 GiB of f32[B·nW, h, N, N]), scan the backward over window chunks:
+    # window attention is independent per window, so each chunk recomputes its own
+    # qkv + logits + softmax while weight cotangents accumulate across the scan.
+    CH = _bwd_window_chunk(nW, B * num_heads * N * N * 4)
+    if CH == nW:
+        attn = jax.checkpoint(qkv_attn)(x2, wqkv, bqkv)
+    else:
+        nC = nW // CH
+
+        def chunk_fn(xc, bc, wqkv_, bqkv_):
+            # xc: (B, CH, N, D); bc: (CH, N, N) bias chunk or None.
+            qkv = jax.lax.dot_general(
+                xc.reshape(B, CH * N, D), wqkv_,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xw.dtype) + bqkv_
+            return _heads_attention_xla(qkv.reshape(B, CH, N, 3 * D), bc, num_heads)
+
+        ckpt = jax.checkpoint(chunk_fn, static_argnums=())
+        xs = jnp.moveaxis(xw.reshape(B, nC, CH, N, D), 1, 0)
+        if bias is None:
+            attn = jax.lax.map(lambda xc: ckpt(xc, None, wqkv, bqkv), xs)
+        else:
+            bs = bias.reshape(nC, CH, N, N)
+            attn = jax.lax.map(lambda ab: ckpt(ab[0], ab[1], wqkv, bqkv), (xs, bs))
+        attn = jnp.moveaxis(attn, 0, 1).reshape(B, nW, N, D)
     if not rest:
         return attn
     wp, bp, sh, sc = rest
