@@ -28,6 +28,7 @@ __all__ = [
     "constrain",
     "shard_batch_arrays",
     "shard_params",
+    "zero_partition_spec",
     "replicate",
 ]
 
@@ -71,20 +72,29 @@ def replicate(tree, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def zero_partition_spec(x, data_size: int, min_size: int = 2**16) -> P:
+    """The ZeRO placement rule for one leaf: shard the largest axis that divides
+    the ``data`` degree when the tensor is big enough, else replicate.
+
+    ``x`` only needs ``shape``/``ndim``/``size`` (works on ``ShapeDtypeStruct``),
+    so callers can compute placements abstractly — no device buffers."""
+    if x.ndim >= 1 and x.size >= min_size:
+        order = np.argsort(x.shape)[::-1]
+        for ax in order:
+            if x.shape[ax] % data_size == 0:
+                spec = [None] * x.ndim
+                spec[ax] = "data"
+                return P(*spec)
+    return P()
+
+
 def shard_params(params, mesh, min_size: int = 2**16):
     """ZeRO-style parameter placement: shard the largest-dim of big tensors over the
     ``data`` axis when it divides evenly; replicate everything else."""
     data_size = mesh.shape["data"]
 
     def place(x):
-        if x.ndim >= 1 and x.size >= min_size:
-            # Shard the largest axis that divides the data-parallel degree.
-            order = np.argsort(x.shape)[::-1]
-            for ax in order:
-                if x.shape[ax] % data_size == 0:
-                    spec = [None] * x.ndim
-                    spec[ax] = "data"
-                    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = zero_partition_spec(x, data_size, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, params)

@@ -81,17 +81,31 @@ def run_cell(mesh_str: str, mode: str, params_mode: str) -> dict:
     from aurora_tpu.model.config import LARGE_CONFIG
     from aurora_tpu.parallel.mesh import make_mesh
     from aurora_tpu.parallel.sharding import (
+        ATMOS_SPEC,
+        STATIC_SPEC,
+        SURF_SPEC,
         replicate,
         shard_batch_arrays,
         shard_params,
+        zero_partition_spec,
     )
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     cfg = LARGE_CONFIG.replace(
         autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True,
         use_lora=True, remat=(mode == "train"),
     )
     model = Aurora(cfg)
-    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    if mode == "fwd":
+        # Abstract AOT lowering: concrete replication of the 5 GiB f32 param tree
+        # across 32 virtual CPU devices would need 160 GiB host RAM. eval_shape +
+        # ShapeDtypeStructs carrying NamedShardings compile the identical SPMD
+        # program with zero device buffers.
+        params = jax.eval_shape(
+            lambda k: init_params(k, cfg, dtype=jnp.float32), jax.random.PRNGKey(0)
+        )
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     data = make_numpy_batch(B=d)  # batch must divide the data axis
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
@@ -109,15 +123,34 @@ def run_cell(mesh_str: str, mode: str, params_mode: str) -> dict:
     mesh = make_mesh(data=d, lat=la, lon=lo)
     t0 = time.time()
     with jax.set_mesh(mesh):
-        if params_mode == "zero":
-            p_sh = shard_params(params, mesh)
-        else:
-            p_sh = replicate(params, mesh)
-        surf, static, atmos = shard_batch_arrays(surf, static, atmos, mesh)
         if mode == "fwd":
+            def abstract(tree, spec_of):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=NamedSharding(mesh, spec_of(x))
+                    ),
+                    tree,
+                )
+
+            if params_mode == "zero":
+                p_sh = abstract(params, lambda x: zero_partition_spec(x, d))
+            else:
+                p_sh = abstract(params, lambda x: P())
+            surf = abstract(surf, lambda x: SURF_SPEC)
+            static = abstract(static, lambda x: STATIC_SPEC)
+            atmos = abstract(atmos, lambda x: ATMOS_SPEC)
+            enc = abstract(enc, lambda x: P())
+            step = jax.ShapeDtypeStruct(
+                (), jnp.int32, sharding=NamedSharding(mesh, P())
+            )
             fwd = jax.jit(partial(forward_core, atmos_levels=levels, cfg=cfg))
             compiled = fwd.lower(p_sh, surf, static, atmos, enc, step).compile()
         else:
+            if params_mode == "zero":
+                p_sh = shard_params(params, mesh)
+            else:
+                p_sh = replicate(params, mesh)
+            surf, static, atmos = shard_batch_arrays(surf, static, atmos, mesh)
             from aurora_tpu.training.train import adamw, make_train_step
 
             optimizer = adamw(3e-4)
