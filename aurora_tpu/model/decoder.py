@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from aurora_tpu.model.config import AuroraConfig
 from aurora_tpu.model.nn import linear, linear_init
 from aurora_tpu.model.perceiver import (
+    _fuse_core_enabled,
     perceiver_resampler_init,
     resampler_shared_query_apply,
 )
@@ -160,6 +161,7 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
     ctx = x.reshape(Cp, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(Cp, B * L, D)
     from aurora_tpu.model.swin3d import mesh_active
 
+    fuse = jax.default_backend() == "tpu" and not mesh_active()
     out = resampler_shared_query_apply(
         p_dec,
         level_embed,
@@ -168,10 +170,36 @@ def _deaggregate(p_dec, level_embed: jax.Array, x: jax.Array, cfg: AuroraConfig)
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
-        fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
+        fuse_mlp=fuse,
         value_bf16=value_bf16,
+        fuse_core=fuse and _fuse_core_enabled(),
     )
+    if value_bf16:
+        # Stay bf16 into the heads: the tensor was computed from bf16 values, so
+        # an f32 copy adds no information — but it doubles the largest train-step
+        # buffer (the (L, C_A, D) de-agg output and its cotangent are 3.25 GiB
+        # f32 at 0.25°). The heads accumulate in f32 (see _head_linear).
+        return out.reshape(B, L, *out.shape[1:])
     return out.reshape(B, L, *out.shape[1:]).astype(dtype)
+
+
+def _head_linear(p, x: jax.Array) -> jax.Array:
+    """Head projection in ``x``'s dtype with an f32 result.
+
+    Identical to :func:`linear` for f32 inputs. For the production bf16 de-agg
+    path the GEMM inputs stay bf16 (value-path rounding, same budget as
+    ``deagg_bf16``) while the OUTPUT is f32: predictions leave normalised space
+    right after unpatchify, and physical magnitudes (e.g. 2t ~ 280 K) need f32.
+    """
+    out_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    y = jax.lax.dot_general(
+        x, p["weight"].astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(out_dtype)
+    return y
 
 
 def decoder_apply(
@@ -229,16 +257,16 @@ def decoder_apply(
     if not cfg.level_condition and not separate:
         # Standard models: all atmos heads read the same de-aggregated latents, so the
         # V per-variable (D -> P²) projections fuse into one (D -> P²·V) GEMM.
-        xa = linear(_stack_heads(p["atmos_heads"], atmos_vars), x_atmos)
+        xa = _head_linear(_stack_heads(p["atmos_heads"], atmos_vars), x_atmos)
     else:
 
         def run_head(name):
             inp = x_atmos_alt if name in separate else x_atmos
             head = p["atmos_heads"][name]
             if not cfg.level_condition:
-                return linear(head, inp)  # (B, L, C_A, P²)
+                return _head_linear(head, inp)  # (B, L, C_A, P²)
             per_level = [
-                linear(head["layers"][level_to_str(lvl)], inp[..., i, :])
+                _head_linear(head["layers"][level_to_str(lvl)], inp[..., i, :])
                 for i, lvl in enumerate(atmos_levels)
             ]
             return jnp.stack(per_level, axis=-2)

@@ -25,6 +25,7 @@ from aurora_tpu.model.nn import (
 from aurora_tpu.model.patchembed import level_patch_embed_apply, level_patch_embed_init
 from aurora_tpu.model.perceiver import (
     perceiver_resampler_init,
+    _fuse_core_enabled,
     resampler_shared_query_apply,
 )
 from aurora_tpu.normalisation import level_to_str
@@ -138,6 +139,7 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
     ctx = x.reshape(C_A, B * L, D) if B == 1 else jnp.swapaxes(x, 0, 1).reshape(C_A, B * L, D)
     from aurora_tpu.model.swin3d import mesh_active
 
+    fuse = jax.default_backend() == "tpu" and not mesh_active()
     out = resampler_shared_query_apply(
         p["level_agg"],
         latents,
@@ -146,8 +148,9 @@ def _aggregate_levels(p, x: jax.Array, cfg: AuroraConfig) -> jax.Array:
         ln_eps=cfg.perceiver_ln_eps,
         chunk_size=cfg.agg_chunk_size,
         k_major=True,
-        fuse_mlp=jax.default_backend() == "tpu" and not mesh_active(),
+        fuse_mlp=fuse,
         value_bf16=value_bf16,
+        fuse_core=fuse and _fuse_core_enabled(),
     )
     return out.reshape(B, L, C_l, D).transpose(0, 2, 1, 3).astype(dtype)
 

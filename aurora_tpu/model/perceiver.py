@@ -101,6 +101,14 @@ def perceiver_resampler_apply(
     return latents
 
 
+def _fuse_core_enabled() -> bool:
+    """Escape hatch for the fused perceiver attention core (ops/resampler.py):
+    AURORA_FUSE_PERCEIVER_CORE=0 falls back to the chunked XLA formulation."""
+    import os
+
+    return os.environ.get("AURORA_FUSE_PERCEIVER_CORE", "1") == "1"
+
+
 def resampler_shared_query_apply(
     p,
     queries: jax.Array,
@@ -111,6 +119,7 @@ def resampler_shared_query_apply(
     k_major: bool = False,
     fuse_mlp: bool = False,
     value_bf16: bool = False,
+    fuse_core: bool = False,
 ) -> jax.Array:
     """Resampler specialised for queries that are IDENTICAL for every context row.
 
@@ -255,6 +264,72 @@ def resampler_shared_query_apply(
             )
             lat = attn_out + lat
             lat = layernorm(layer["ln2"], mlp(layer["mlp"], lat), eps=ln_eps) + lat
+        return lat
+
+    if fuse_core and k_major and len(layers) == 1:
+        # Fused Pallas attention core (ops/resampler.py): the kernel's own grid
+        # walks column blocks, so the lax.map chunking is unnecessary — k, v,
+        # logits, softmax weights and the weighted sum never touch HBM.
+        from aurora_tpu.ops.resampler import make_q_major_blockdiag, perceiver_core_fused
+
+        att = l0["attn"]
+        w_kv = att["to_kv"]["weight"]
+        b_kv = att["to_kv"].get("bias")
+        pad = 0 if ctx.shape[1] % 8 == 0 else 8 - ctx.shape[1] % 8
+        ctx_k = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0))) if pad else ctx
+        lat = perceiver_core_fused(
+            ctx_k,
+            w_kv[:, :inner],
+            None if b_kv is None else b_kv[:inner],
+            w_kv[:, inner:],
+            None if b_kv is None else b_kv[inner:],
+            make_q_major_blockdiag(qh, num_heads),
+            att["to_out"]["weight"],
+            att["to_out"].get("bias"),
+            l0["ln1"]["weight"],
+            l0["ln1"]["bias"],
+            queries,
+            att["ln_k"]["weight"] if "ln_k" in att else None,
+            att["ln_k"]["bias"] if "ln_k" in att else None,
+            num_heads=num_heads,
+            scale=scale,
+            ln_eps=ln_eps,
+            value_bf16=value_bf16,
+            interpret=jax.default_backend() != "tpu",
+        )[: ctx.shape[1]]  # (M, Q, D_out)
+        if fuse_mlp:
+            from aurora_tpu.ops.mlp import mlp_adaln_residual_fused
+            from aurora_tpu.ops.resampler import _largest_block
+
+            mp, ln2 = l0["mlp"], l0["ln2"]
+            D_lat = lat.shape[-1]
+
+            def mlp_half(xc):
+                return mlp_adaln_residual_fused(
+                    xc.reshape(1, -1, D_lat),
+                    mp["fc1"]["weight"], mp["fc1"]["bias"],
+                    mp["fc2"]["weight"], mp["fc2"]["bias"],
+                    shift=ln2["bias"][None].astype(jnp.float32),
+                    scale=ln2["weight"][None].astype(jnp.float32),
+                    scale_bias=0.0,
+                    ln_eps=ln_eps,
+                    interpret=jax.default_backend() != "tpu",
+                ).reshape(xc.shape)
+
+            # Chunk the MLP over column blocks: the fused kernel's own backward
+            # (vjp of its XLA reference) materialises the f32 pre-GELU hidden of
+            # whatever it is handed — full-M at 0.25 deg would be ~14 GiB; the
+            # lax.map transpose bounds it to one chunk (same bound the chunked
+            # attention-map path had).
+            Mf = lat.shape[0]
+            CHM = _largest_block(Mf, chunk_size or 8192)
+            if CHM < Mf:
+                xs = lat.reshape(Mf // CHM, CHM, *lat.shape[1:])
+                lat = jax.lax.map(mlp_half, xs).reshape(lat.shape)
+            else:
+                lat = mlp_half(lat)
+        else:
+            lat = layernorm(l0["ln2"], mlp(l0["mlp"], lat), eps=ln_eps) + lat
         return lat
 
     if chunk_size is not None and M > chunk_size:

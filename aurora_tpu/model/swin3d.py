@@ -410,7 +410,7 @@ def _heads_attention_xla(x, bias, num_heads: int):
         "bwqhd,bwkhd->bwhqk", q, k, preferred_element_type=jnp.float32
     ) * (1.0 / math.sqrt(dh))
     if bias is not None:
-        logits = logits + bias[None, :, None, :, :]
+        logits = logits + bias[None, :, None, :, :].astype(jnp.float32)
     wgt = _softmax_rounded(logits, x.dtype)
     attn = jnp.einsum(
         "bwhqk,bwkhd->bwqhd", wgt, v, preferred_element_type=jnp.float32
@@ -527,7 +527,8 @@ def _heads_attention(x, bias, h: int, D: int):
             * scale
         )
         if bias is not None:
-            logits = logits + bias
+            # Mask constants are stored bf16 (exact 0/-100); add in f32.
+            logits = logits + bias.astype(jnp.float32)
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         outs.append(
             jax.lax.dot_general(
@@ -626,7 +627,7 @@ def _sdpa_windows_fused_pallas(
             0,
             pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups), dtype="bfloat16")))
 
     def kernel_call(*arrs):
         return pl.pallas_call(
@@ -745,7 +746,7 @@ def _attn_windows_qkv_fused_pallas(
             0,
             pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups), dtype="bfloat16")))
 
     proj_flops = 2 * B * nW * N * D * D if tail is not None else 0
 
@@ -821,7 +822,7 @@ def _attn_windows_5d_fused_pallas(
     # ``bias`` lets a caller pass the (nW, N, N) additive mask directly — the
     # shard_map mesh path feeds each shard ITS slice of the global mask this way.
     if bias is None and groups is not None:
-        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups)))
+        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups), dtype="bfloat16"))
     masked = bias is not None
 
     wqkv = wqkv.astype(xp.dtype)
@@ -1000,7 +1001,7 @@ def _attn5d_mesh_sharded(xp, wqkv, bqkv, num_heads, groups, ws, tail):
         in_specs += [P(), P(), P("data", None), P("data", None)]
         args += list(tail)
     if masked:
-        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups)))
+        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups), dtype="bfloat16"))
         in_specs.append(P(None, "lat", "lon", None, None))
         args.append(bias.reshape(C1, H1, W1, N, N))
 

@@ -109,22 +109,32 @@ def window_group_ids(
     return np.ascontiguousarray(img.reshape(-1, ws[0] * ws[1] * ws[2]))
 
 
-def window_bias_from_groups(groups: np.ndarray):
-    """Additive attention bias ``(nW, N, N)`` float32 from group ids (cached).
+def window_bias_from_groups(groups: np.ndarray, dtype=np.float32):
+    """Additive attention bias ``(nW, N, N)`` from group ids (cached).
 
     0 where the group ids match, -100 otherwise — the reference's mask values
     (aurora/model/swin3d.py:357-358). Returns the same (cached) NumPy object per
-    geometry so every block shares one ~150 MB graph constant.
+    geometry so every block shares one graph constant. Both values are exactly
+    representable in bfloat16, so the kernels request ``dtype="bfloat16"`` to
+    halve the embedded-constant HBM (the stage-0 0.25° mask is 142 MiB in f32,
+    253 MiB after TPU tile padding) and upcast to f32 at the logits add —
+    bit-identical numerics.
     """
-    return _window_bias_cached(groups.tobytes(), groups.shape)
+    return _window_bias_cached(groups.tobytes(), groups.shape, np.dtype(dtype).name)
 
 
 @lru_cache(maxsize=32)
-def _window_bias_cached(g_bytes: bytes, shape):
+def _window_bias_cached(g_bytes: bytes, shape, dtype_name: str):
     # Return the SAME NumPy object for a given geometry: jax's constant lowering is
     # keyed on object id, so every block embedding this bias shares one ~150 MB graph
     # constant. (Caching a jax array here is wrong twice over: created inside a jit
     # trace it would be a leaked tracer, and created eagerly it can deadlock
     # remote-compile runtimes.)
+    if dtype_name == "bfloat16":
+        import ml_dtypes
+
+        dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        dtype = np.dtype(dtype_name)
     g = np.frombuffer(g_bytes, dtype=np.int32).reshape(shape)
-    return np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(np.float32)
+    return np.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(dtype)

@@ -230,7 +230,17 @@ def main():
     parity_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_PARITY.json")
     if os.path.exists(parity_file):
         with open(parity_file) as f:
-            extra["rollout10_max_rel_err_vs_torch"] = json.load(f)["max_rel_err"]
+            extra["rollout10_f32_max_rel_err_vs_torch"] = json.load(f)["max_rel_err"]
+    # The PRODUCTION stack's own 10-step drift vs the f32 path (VERDICT r3 #3):
+    # measured by tools/production_drift.py at the full 1.3 B 0.25° shapes on the
+    # chip; this is the number that belongs next to the production headline.
+    drift_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PRODUCTION_DRIFT.json"
+    )
+    if os.path.exists(drift_file):
+        with open(drift_file) as f:
+            d = json.load(f)
+        extra["rollout10_production_vs_f32_rel_err"] = d["max_rel_err"]
     print(
         json.dumps(
             {
