@@ -277,6 +277,12 @@ def resampler_shared_query_apply(
         b_kv = att["to_kv"].get("bias")
         pad = 0 if ctx.shape[1] % 8 == 0 else 8 - ctx.shape[1] % 8
         ctx_k = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0))) if pad else ctx
+        # Kernel-vs-XLA primal routing, measured on-chip at the flagship shapes
+        # (tools/perceiver_core_bench.py, 2026-08-20): the kernel wins the agg
+        # geometry (K>=Q: 1.17x bf16 / 1.35x f32) and f32 de-agg (1.08x); the
+        # bf16 de-agg (K<Q) runs 3% faster as flat XLA GEMMs — route it there,
+        # keeping the chunked-scan backward (the train-memory fix) either way.
+        use_kernel = (K >= Q) or not value_bf16
         lat = perceiver_core_fused(
             ctx_k,
             w_kv[:, :inner],
@@ -296,6 +302,7 @@ def resampler_shared_query_apply(
             ln_eps=ln_eps,
             value_bf16=value_bf16,
             interpret=jax.default_backend() != "tpu",
+            use_kernel=use_kernel,
         )[: ctx.shape[1]]  # (M, Q, D_out)
         if fuse_mlp:
             from aurora_tpu.ops.mlp import mlp_adaln_residual_fused

@@ -94,6 +94,7 @@ def perceiver_core_fused(
     ln_eps: float = 1e-5,
     value_bf16: bool = False,
     interpret: bool = False,
+    use_kernel: bool = True,
 ):
     """Fused shared-query cross-attention core.
 
@@ -335,12 +336,26 @@ def perceiver_core_fused(
     CH = _largest_block(M, int(os.environ.get("AURORA_RESAMPLER_BWD_CHUNK", "8192")))
     nC = M // CH
 
+    def primal(*args):
+        if use_kernel:
+            return kernel_call(*args)
+        # XLA-chunked primal: at the bf16 de-agg geometry the flat-GEMM XLA form
+        # measured faster than the kernel (tools/perceiver_core_bench.py) — keep
+        # it as the forward while still replacing the lax.map-transpose backward
+        # (the train-memory hog) with the chunked scan below.
+        ctx_a, *wargs = args
+        if nC == 1:
+            return xla_ref_m(ctx_a, M, *wargs)
+        chunks = jnp.moveaxis(ctx_a.reshape(K, nC, CH, D), 1, 0)
+        out = jax.lax.map(lambda c: xla_ref_m(c, CH, *wargs), chunks)
+        return out.reshape(M, Q, D_out)
+
     @jax.custom_vjp
     def f(*args):
-        return kernel_call(*args)
+        return primal(*args)
 
     def fwd(*args):
-        return kernel_call(*args), args
+        return primal(*args), args
 
     def bwd(res, g):
         ctx_r, *wargs = res

@@ -88,3 +88,29 @@ def test_fused_core_gradients(chunked, monkeypatch):
     for a, b in zip(flat_r, flat_o):
         sc = float(jnp.max(jnp.abs(a))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / sc < 5e-5, (a.shape, b.shape)
+
+
+def test_use_kernel_false_primal_matches():
+    """The XLA-chunked primal (bf16 de-agg routing) equals the kernel primal."""
+    from aurora_tpu.ops.resampler import make_q_major_blockdiag, perceiver_core_fused
+
+    p, queries, ctx = _setup()
+    att = p["layers"][0]["attn"]
+    inner = att["to_q"]["weight"].shape[1]
+    qh = (queries @ att["to_q"]["weight"]).reshape(-1, H, inner // H)
+    args = dict(
+        num_heads=H, scale=(inner // H) ** -0.5, ln_eps=1e-5, interpret=True,
+    )
+    common = (
+        ctx,
+        att["to_kv"]["weight"][:, :inner], None,
+        att["to_kv"]["weight"][:, inner:], None,
+        make_q_major_blockdiag(qh, H),
+        att["to_out"]["weight"], None,
+        p["layers"][0]["ln1"]["weight"], p["layers"][0]["ln1"]["bias"],
+        queries,
+    )
+    a = perceiver_core_fused(*common, use_kernel=True, **args)
+    b = perceiver_core_fused(*common, use_kernel=False, **args)
+    err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30))
+    assert err < 5e-6, err
