@@ -49,6 +49,19 @@ def _largest_row_tile(rows: int, max_tile: int) -> int:
     return rows
 
 
+def _bwd_row_chunk(L: int, hidden: int, itemsize: int) -> int:
+    """Rows per backward chunk: largest divisor of ``L`` whose hidden activation
+    fits the ``AURORA_MLP_BWD_CHUNK_MIB`` budget (default 256). Returns ``L``
+    (no chunking) when the whole thing fits or no divisor does."""
+    budget = int(os.environ.get("AURORA_MLP_BWD_CHUNK_MIB", "256")) * 2**20
+    if L * hidden * itemsize <= budget:
+        return L
+    for cand in range(L // 8 * 8, 0, -8):
+        if L % cand == 0 and cand * hidden * itemsize <= budget:
+            return cand
+    return L
+
+
 def _mlp_tiles(L: int, d_in: int, hidden: int, itemsize: int) -> tuple[int, int]:
     """(row_tile, in-kernel hidden_chunk) for the fused MLP kernels.
 
@@ -370,7 +383,76 @@ def mlp_adaln_residual_fused(
         out = x2.reshape(B, L, D_out).astype(jnp.float32) + mod
         return out.astype(x2.dtype).reshape(rows, D_out)
 
-    out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2, shift, scale)
+    CHR = _bwd_row_chunk(L, H, x2.dtype.itemsize)
+    if CHR == L:
+        out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2, shift, scale)
+        return out.reshape(B, L, D_out)
+
+    # Row-chunked backward: rows are independent (the LN is per row; modulations
+    # are per batch element, and chunks never straddle one since CHR | L), so the
+    # vjp of the reference scans over row chunks instead of materialising the
+    # full hidden activation — at 0.25 deg stage 0 that is 2 x 1.0 GiB of bf16
+    # (259200, 2048) per block in the train-step backward.
+    nCh = L // CHR
+
+    def xla_chunk(xc, w1_, b1_, w2_, b2_, sh1, sc1):
+        hid = jax.lax.dot_general(
+            xc, w1_, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_
+        hid = _gelu_rounded(hid.astype(xc.dtype))
+        y = (
+            jax.lax.dot_general(
+                hid, w2_, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_
+        ).astype(xc.dtype)
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+        ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+        mod = ln * (scale_bias + sc1[None, :]) + sh1[None, :]
+        return (xc.astype(jnp.float32) + mod).astype(xc.dtype)
+
+    @jax.custom_vjp
+    def f(x2, w1, b1, w2, b2, shift, scale):
+        return kernel_call(x2, w1, b1, w2, b2, shift, scale)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(res, g):
+        x2_r, w1_r, b1_r, w2_r, b2_r, sh_r, sc_r = res
+        xs = x2_r.reshape(B * nCh, CHR, D_in)
+        gs = g.reshape(B * nCh, CHR, D_out)
+        sh_rep = jnp.repeat(sh_r, nCh, axis=0)
+        sc_rep = jnp.repeat(sc_r, nCh, axis=0)
+        zero = tuple(
+            jnp.zeros(a.shape, jnp.float32) for a in (w1_r, b1_r, w2_r, b2_r)
+        )
+
+        def step(carry, xs_):
+            xc, gc, sh1, sc1 = xs_
+            _, vjp = jax.vjp(xla_chunk, xc, w1_r, b1_r, w2_r, b2_r, sh1, sc1)
+            dxc, dw1, db1, dw2, db2, dsh, dsc = vjp(gc)
+            carry = tuple(
+                c + d.astype(jnp.float32) for c, d in zip(carry, (dw1, db1, dw2, db2))
+            )
+            return carry, (dxc, dsh, dsc)
+
+        acc, (dx, dsh_all, dsc_all) = jax.lax.scan(
+            step, zero, (xs, gs, sh_rep, sc_rep)
+        )
+        dw1, db1, dw2, db2 = (
+            a.astype(w.dtype) for a, w in zip(acc, (w1_r, b1_r, w2_r, b2_r))
+        )
+        dshift = dsh_all.reshape(B, nCh, -1).sum(1).astype(sh_r.dtype)
+        dscale = dsc_all.reshape(B, nCh, -1).sum(1).astype(sc_r.dtype)
+        return (dx.reshape(rows, D_in), dw1, db1, dw2, db2, dshift, dscale)
+
+    f.defvjp(fwd, bwd)
+    out = f(x2, w1, b1, w2, b2, shift, scale)
     return out.reshape(B, L, D_out)
 
 

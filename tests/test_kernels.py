@@ -410,3 +410,31 @@ def test_shared_query_resampler_matches_generic(ln_k_q, depth):
     np.testing.assert_allclose(
         np.asarray(got_chunked), np.asarray(got), atol=1e-7
     )
+
+
+def test_mlp_chunked_backward_matches(monkeypatch):
+    """Row-chunked MLP backward (AURORA_MLP_BWD_CHUNK_MIB) == unchunked grads."""
+    import jax
+    import jax.numpy as jnp
+    from aurora_tpu.ops.mlp import mlp_adaln_residual_fused
+
+    B, L, D, Hh = 2, 1024, 64, 512
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (B, L, D), jnp.float32)
+    w1 = jax.random.normal(ks[1], (D, Hh)) * 0.1
+    b1 = jax.random.normal(ks[2], (Hh,)) * 0.1
+    w2 = jax.random.normal(ks[3], (Hh, D)) * 0.1
+    b2 = jax.random.normal(ks[4], (D,)) * 0.1
+    sh = jax.random.normal(ks[5], (B, D)) * 0.1
+    sc = jax.random.normal(ks[6], (B, D)) * 0.1
+
+    def loss(*a):
+        return jnp.sum(mlp_adaln_residual_fused(*a, interpret=True) ** 2)
+
+    monkeypatch.setenv("AURORA_MLP_BWD_CHUNK_MIB", "100000")
+    g1 = jax.grad(loss, argnums=tuple(range(7)))(x, w1, b1, w2, b2, sh, sc)
+    monkeypatch.setenv("AURORA_MLP_BWD_CHUNK_MIB", "1")  # forces 2 chunks
+    g2 = jax.grad(loss, argnums=tuple(range(7)))(x, w1, b1, w2, b2, sh, sc)
+    for a, b in zip(g1, g2):
+        err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30))
+        assert err < 1e-5, (a.shape, err)

@@ -90,7 +90,14 @@ def main():
         # identical under autocast); LoRA adapters stay f32 master copies.
         params = cast_backbone_params(params)
 
-    data = make_numpy_batch()
+    import bench as _bench
+
+    _H, _W = _bench.H_FULL, _bench.W
+    _bench.H_FULL, _bench.W = args.H, args.W
+    try:
+        data = make_numpy_batch()
+    finally:
+        _bench.H_FULL, _bench.W = _H, _W
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
         metadata=Metadata(
