@@ -49,6 +49,23 @@ def _largest_row_tile(rows: int, max_tile: int) -> int:
     return rows
 
 
+def _padded_rows(L: int, cap: int | None = None) -> int:
+    """Smallest padded row count >= L (multiple of 8) with a decent row tile.
+
+    ``_largest_row_tile`` degrades to a single whole-``L`` tile when ``L`` has
+    no multiple-of-8 divisor (e.g. the 4050-row stage-2 grid at 0.25 deg): the
+    fully unrolled Mosaic body then spills registers (measured 146 MiB of VMEM
+    spill slots at 4140 rows — an XLA:TPU vmem OOM) and bloats generated code.
+    Padding a few rows restores a >=128-row tile; pad rows are cropped from the
+    output and contribute zero cotangents through the crop's vjp."""
+    cap = cap or _ROW_TILE_CAP
+    Lp = (L + 7) // 8 * 8
+    for extra in range(0, 520, 8):
+        if _largest_row_tile(Lp + extra, cap) >= min(128, cap):
+            return Lp + extra
+    return Lp
+
+
 def _bwd_row_chunk(L: int, hidden: int, itemsize: int) -> int:
     """Rows per backward chunk: largest divisor of ``L`` whose hidden activation
     fits the ``AURORA_MLP_BWD_CHUNK_MIB`` budget (default 256). Returns ``L``
@@ -168,8 +185,11 @@ def mlp_fused(
     D_in = x.shape[-1]
     H = w1.shape[1]
     D_out = w2.shape[1]
-    rows = x.size // D_in
-    x2 = x.reshape(rows, D_in)
+    rows_in = x.size // D_in
+    rows = _padded_rows(rows_in)
+    x2 = x.reshape(rows_in, D_in)
+    if rows != rows_in:
+        x2 = jnp.pad(x2, ((0, rows - rows_in), (0, 0)))
 
     R, HC = _mlp_tiles(rows, D_in, H, x2.dtype.itemsize)
     nR, nH = rows // R, H // HC
@@ -244,7 +264,7 @@ def mlp_fused(
         return out.astype(x2.dtype)
 
     out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2)
-    return out.reshape(*orig_shape[:-1], D_out)
+    return out[:rows_in].reshape(*orig_shape[:-1], D_out)
 
 
 def mlp_adaln_residual_fused(
@@ -278,15 +298,20 @@ def mlp_adaln_residual_fused(
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or _force_interpret()
-    B, L, D_in = x.shape
+    B, L_in, D_in = x.shape
     H = w1.shape[1]
     D_out = w2.shape[1]
     assert D_out == D_in, "residual form needs D_out == D_in"
+    # Pad L so a decent row tile exists (see _padded_rows — deeper-stage grids
+    # like 4050 rows have no multiple-of-8 divisor, and a whole-L tile spills).
+    L = L_in if (row_tile and L_in % row_tile == 0) else _padded_rows(L_in)
+    if L != L_in:
+        x = jnp.pad(x, ((0, 0), (0, L - L_in), (0, 0)))
     rows = B * L
     x2 = x.reshape(rows, D_in)
 
     # Row tiles must stay inside one batch element so each tile has ONE modulation
-    # row; L is a multiple of 8 for every real grid (H/P * W/P * C).
+    # row.
     auto_r, auto_hc = _mlp_tiles(L, D_in, H, x2.dtype.itemsize)
     R = row_tile or auto_r
     HC = hidden_tile or auto_hc
@@ -386,7 +411,7 @@ def mlp_adaln_residual_fused(
     CHR = _bwd_row_chunk(L, H, x2.dtype.itemsize)
     if CHR == L:
         out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w1, b1, w2, b2, shift, scale)
-        return out.reshape(B, L, D_out)
+        return out.reshape(B, L, D_out)[:, :L_in]
 
     # Row-chunked backward: rows are independent (the LN is per row; modulations
     # are per batch element, and chunks never straddle one since CHR | L), so the
@@ -453,7 +478,7 @@ def mlp_adaln_residual_fused(
 
     f.defvjp(fwd, bwd)
     out = f(x2, w1, b1, w2, b2, shift, scale)
-    return out.reshape(B, L, D_out)
+    return out.reshape(B, L, D_out)[:, :L_in]
 
 
 def linear_adaln_residual_fused(
@@ -480,9 +505,13 @@ def linear_adaln_residual_fused(
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = interpret or _force_interpret()
-    B, L, D_in = x.shape
+    B, L_in, D_in = x.shape
     D_out = w.shape[1]
     assert D_out == D_in
+    L = L_in if (row_tile and L_in % row_tile == 0) else _padded_rows(L_in)
+    if L != L_in:
+        x = jnp.pad(x, ((0, 0), (0, L - L_in), (0, 0)))
+        shortcut = jnp.pad(shortcut, ((0, 0), (0, L - L_in), (0, 0)))
     rows = B * L
     x2 = x.reshape(rows, D_in)
     s2 = shortcut.reshape(rows, D_out)
@@ -559,4 +588,4 @@ def linear_adaln_residual_fused(
         return out.astype(x2.dtype).reshape(rows, D_out)
 
     out = kernel_with_xla_grad(kernel_call, xla_ref)(x2, w, b, s2, shift, scale)
-    return out.reshape(B, L, D_out)
+    return out.reshape(B, L, D_out)[:, :L_in]
