@@ -79,6 +79,39 @@ def _bwd_row_chunk(L: int, hidden: int, itemsize: int) -> int:
     return L
 
 
+def _weights_exceed_vmem(d_in: int, hidden: int, d_out: int, itemsize: int) -> bool:
+    """True when resident fc1+fc2 weights leave no VMEM headroom for tiles."""
+    return (d_in * hidden + hidden * d_out) * itemsize > int(_VMEM_LIMIT * 0.8)
+
+
+def _mlp_adaln_residual_xla(x, w1, b1, w2, b2, shift, scale, scale_bias, ln_eps):
+    """Unfused ``x + AdaLN(mlp(x))`` — numerics-matched fallback (same rounding
+    points as the kernel/xla_ref pair) for shapes the kernel cannot hold."""
+    B, L, D_out = x.shape[0], x.shape[1], w2.shape[1]
+    x2 = x.reshape(-1, x.shape[-1])
+    hid = jax.lax.dot_general(
+        x2, w1.astype(x.dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1.astype(jnp.float32).reshape(1, -1)
+    hid = _gelu_rounded(hid.astype(x.dtype))
+    y = (
+        jax.lax.dot_general(
+            hid, w2.astype(x.dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2.astype(jnp.float32).reshape(1, -1)
+    ).astype(x.dtype)
+    yf = y.reshape(B, L, D_out).astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    ln = (yf - mean) * jax.lax.rsqrt(var + ln_eps)
+    mod = ln * (scale_bias + scale.astype(jnp.float32)[:, None, :]) + shift.astype(
+        jnp.float32
+    )[:, None, :]
+    out = x.astype(jnp.float32) + mod
+    return out.astype(x.dtype)
+
+
 def _mlp_tiles(L: int, d_in: int, hidden: int, itemsize: int) -> tuple[int, int]:
     """(row_tile, in-kernel hidden_chunk) for the fused MLP kernels.
 
@@ -185,6 +218,21 @@ def mlp_fused(
     D_in = x.shape[-1]
     H = w1.shape[1]
     D_out = w2.shape[1]
+    if _weights_exceed_vmem(D_in, H, D_out, x.dtype.itemsize):
+        x2f = x.reshape(-1, D_in)
+        hid = jax.lax.dot_general(
+            x2f, w1.astype(x.dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1.astype(jnp.float32).reshape(1, -1)
+        hid = _gelu_rounded(hid.astype(x.dtype))
+        out = (
+            jax.lax.dot_general(
+                hid, w2.astype(x.dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2.astype(jnp.float32).reshape(1, -1)
+        ).astype(x.dtype)
+        return out.reshape(*orig_shape[:-1], D_out)
     rows_in = x.size // D_in
     rows = _padded_rows(rows_in)
     x2 = x.reshape(rows_in, D_in)
@@ -302,6 +350,13 @@ def mlp_adaln_residual_fused(
     H = w1.shape[1]
     D_out = w2.shape[1]
     assert D_out == D_in, "residual form needs D_out == D_in"
+    if _weights_exceed_vmem(D_in, H, D_out, x.dtype.itemsize):
+        # Weight residency doesn't fit VMEM (f32 stage-2: 2x64 MiB + tiles >
+        # 128 MiB — first hit by the full-scale f32 diagnostic mode). The
+        # unfused XLA chain is correct and only marginally slower there.
+        return _mlp_adaln_residual_xla(
+            x, w1, b1, w2, b2, shift, scale, scale_bias, ln_eps
+        )
     # Pad L so a decent row tile exists (see _padded_rows — deeper-stage grids
     # like 4050 rows have no multiple-of-8 divisor, and a whole-L tile spills).
     L = L_in if (row_tile and L_in % row_tile == 0) else _padded_rows(L_in)
