@@ -116,50 +116,56 @@ def rollout_scan(
             )
         )
 
-    def body(carry, xs):
-        surf, atmos, step = carry
-        abs_t_i, dyn_i = xs
-        enc_i = _dc.replace(enc0, absolute_time=abs_t_i, dynamic_scalars=dyn_i)
-        surf_pred, atmos_pred = forward_core(
-            params, surf, static0, atmos, enc_i, step, levels, cfg
-        )
-        surf_next = {
-            k: jnp.concatenate([surf[k][:, 1:], surf_pred[k][:, None]], axis=1)
-            for k in surf
-        }
-        atmos_next = {
-            k: jnp.concatenate([atmos[k][:, 1:], atmos_pred[k][:, None]], axis=1)
-            for k in atmos
-        }
-        if host_offload:
-            from jax.experimental import io_callback
+    def make_scan_body(params_, static_):
+        def body(carry, xs):
+            surf, atmos, step = carry
+            abs_t_i, dyn_i = xs
+            enc_i = _dc.replace(enc0, absolute_time=abs_t_i, dynamic_scalars=dyn_i)
+            surf_pred, atmos_pred = forward_core(
+                params_, surf, static_, atmos, enc_i, step, levels, cfg
+            )
+            surf_next = {
+                k: jnp.concatenate([surf[k][:, 1:], surf_pred[k][:, None]], axis=1)
+                for k in surf
+            }
+            atmos_next = {
+                k: jnp.concatenate([atmos[k][:, 1:], atmos_pred[k][:, None]], axis=1)
+                for k in atmos
+            }
+            if host_offload:
+                from jax.experimental import io_callback
 
-            io_callback(ship_to_host, None, surf_pred, atmos_pred, ordered=True)
-            out = None
-        else:
-            out = (surf_pred, atmos_pred)
-        return (surf_next, atmos_next, step + 1), out
+                io_callback(ship_to_host, None, surf_pred, atmos_pred, ordered=True)
+                out = None
+            else:
+                out = (surf_pred, atmos_pred)
+            return (surf_next, atmos_next, step + 1), out
+
+        if dyn is None:
+            def body_nodyn(carry, xs):
+                return body(carry, (xs[0], None))
+            return body_nodyn
+        return body
 
     xs = (abs_t, dyn if dyn is not None else jnp.zeros((steps, 1)))
-    if dyn is None:
-        def body_nodyn(carry, xs):
-            return body(carry, (xs[0], None))
-        scan_body = body_nodyn
-    else:
-        scan_body = body
 
     if host_offload:
         # Donate the rolling history so XLA updates the carry in place: device
         # memory stays at one step's working set for any number of steps. Fresh
-        # copies are donated — the caller's batch arrays must survive.
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run(carry, xs):
-            final_carry, _ = jax.lax.scan(scan_body, carry, xs, length=steps)
+        # copies are donated — the caller's batch arrays must survive. Params
+        # and statics are explicit jit ARGUMENTS: closing over them would bake
+        # the 2.8 GiB tree into the program as constants (hour-long compiles,
+        # program-text bloat).
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(params_, static_, carry, xs):
+            final_carry, _ = jax.lax.scan(
+                make_scan_body(params_, static_), carry, xs, length=steps
+            )
             return final_carry
 
         surf_d = {k: jnp.array(v) for k, v in surf0.items()}
         atmos_d = {k: jnp.array(v) for k, v in atmos0.items()}
-        run((surf_d, atmos_d, step0), xs)
+        run(params, static0, (surf_d, atmos_d, step0), xs)
         jax.effects_barrier()
         assert len(host_store) == steps
         per_step = [
@@ -168,7 +174,7 @@ def rollout_scan(
         ]
     else:
         (_, _, _), (surf_stack, atmos_stack) = jax.lax.scan(
-            scan_body, (surf0, atmos0, step0), xs, length=steps
+            make_scan_body(params, static0), (surf0, atmos0, step0), xs, length=steps
         )
         per_step = [
             (
