@@ -52,6 +52,7 @@ from aurora_tpu.ops.mlp import (
     mlp_fused,
 )
 from aurora_tpu.ops.masks import (
+    window_bias_in_graph,
     three_sided_padding,
     window_bias_from_groups,
     window_group_ids,
@@ -627,7 +628,7 @@ def _sdpa_windows_fused_pallas(
             0,
             pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+        inputs.insert(0, window_bias_in_graph(np.asarray(groups)))
 
     def kernel_call(*arrs):
         return pl.pallas_call(
@@ -746,7 +747,7 @@ def _attn_windows_qkv_fused_pallas(
             0,
             pl.BlockSpec((KW, N, N), lambda b, i: (i, 0, 0), memory_space=pltpu.VMEM),
         )
-        inputs.insert(0, jnp.asarray(window_bias_from_groups(np.asarray(groups))))
+        inputs.insert(0, window_bias_in_graph(np.asarray(groups)))
 
     proj_flops = 2 * B * nW * N * D * D if tail is not None else 0
 
@@ -822,7 +823,7 @@ def _attn_windows_5d_fused_pallas(
     # ``bias`` lets a caller pass the (nW, N, N) additive mask directly — the
     # shard_map mesh path feeds each shard ITS slice of the global mask this way.
     if bias is None and groups is not None:
-        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups)))
+        bias = window_bias_in_graph(np.asarray(groups))
     masked = bias is not None
 
     wqkv = wqkv.astype(xp.dtype)
@@ -1001,7 +1002,7 @@ def _attn5d_mesh_sharded(xp, wqkv, bqkv, num_heads, groups, ws, tail):
         in_specs += [P(), P(), P("data", None), P("data", None)]
         args += list(tail)
     if masked:
-        bias = jnp.asarray(window_bias_from_groups(np.asarray(groups)))
+        bias = window_bias_in_graph(np.asarray(groups))
         in_specs.append(P(None, "lat", "lon", None, None))
         args.append(bias.reshape(C1, H1, W1, N, N))
 

@@ -109,6 +109,21 @@ def window_group_ids(
     return np.ascontiguousarray(img.reshape(-1, ws[0] * ws[1] * ws[2]))
 
 
+def window_bias_in_graph(groups: np.ndarray):
+    """Additive attention bias built IN-GRAPH from the (nW, N) group ids.
+
+    Same values as :func:`window_bias_from_groups` (0 where ids match, -100
+    otherwise), but the embedded program constant is the 1 MiB s32 id table
+    instead of the 142 MiB f32 bias (0.25° stage 0): serialized modules shrink
+    by ~330 MiB and the bias becomes a cheap elementwise temp XLA can CSE
+    across blocks. Kernels consume the result exactly like the constant.
+    """
+    import jax.numpy as jnp
+
+    g = jnp.asarray(np.ascontiguousarray(groups))
+    return jnp.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(jnp.float32)
+
+
 def window_bias_from_groups(groups: np.ndarray, dtype=np.float32):
     """Additive attention bias ``(nW, N, N)`` from group ids (cached).
 

@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--H", type=int, default=721)
+    ap.add_argument("--W", type=int, default=1440)
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,14 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     params = cast_backbone_params(params)
 
-    data = make_numpy_batch()
+    import bench as _bench
+
+    _H, _W = _bench.H_FULL, _bench.W
+    _bench.H_FULL, _bench.W = args.H, args.W
+    try:
+        data = make_numpy_batch()
+    finally:
+        _bench.H_FULL, _bench.W = _H, _W
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
         metadata=Metadata(
@@ -75,10 +84,10 @@ def main():
     t0 = time.time()
     preds = rollout_scan(model, params, batch, steps=args.steps, host_offload=True)
     wall = time.time() - t0
-    gp = 720 * 1440
+    gp = (args.H - 1) * args.W
     out = {
         "metric": "rollout_scan_host_offload",
-        "grid": [721, 1440],
+        "grid": [args.H, args.W],
         "steps": args.steps,
         "wall_s": round(wall, 2),
         "wall_s_incl_compile": round(wall_cold, 2),
