@@ -51,6 +51,7 @@ from aurora_tpu.posencoding import pos_scale_enc_cached
 __all__ = [
     "Aurora",
     "cast_backbone_params",
+    "stack_block_params",
     "AuroraPretrained",
     "AuroraSmallPretrained",
     "AuroraSmall",
@@ -90,6 +91,22 @@ def cast_backbone_params(params, dtype=jnp.bfloat16):
     out["backbone"] = jax.tree_util.tree_map(
         lambda a: a.astype(dtype), params["backbone"]
     )
+    return out
+
+
+def stack_block_params(params):
+    """Stack each backbone stage's per-block params for the scan-over-blocks path.
+
+    One-time eager layout transform (see swin3d.stack_backbone_blocks): every
+    stage's ``blocks`` list becomes one pytree with a leading ``depth`` axis and
+    the backbone runs each stage as a ``lax.scan`` over block pairs — bit-identical
+    weights, ~depth/2× less compiled program text. Composes with
+    :func:`cast_backbone_params` in either order (both are rank-/layout-generic).
+    """
+    from aurora_tpu.model.swin3d import stack_backbone_blocks
+
+    out = dict(params)
+    out["backbone"] = stack_backbone_blocks(params["backbone"])
     return out
 
 

@@ -153,8 +153,11 @@ def drop_path(x: jax.Array, rate: float, key: Optional[jax.Array]) -> jax.Array:
     """Stochastic depth (timm ``DropPath``): drop the whole residual branch per batch
     element with probability ``rate``, rescaling survivors by ``1/(1-rate)``.
     Identity when ``key`` is ``None`` (inference) or ``rate == 0``.
-    Reference: aurora/model/swin3d.py:430,507-508."""
-    if key is None or rate == 0.0:
+    Reference: aurora/model/swin3d.py:430,507-508.
+
+    ``rate`` may be a traced scalar (the scan-over-blocks path feeds per-block
+    rates as scan inputs); a traced 0 is bitwise identity (mask = 1, ×1.0/1.0)."""
+    if key is None or (isinstance(rate, (int, float, np.floating)) and rate == 0.0):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))

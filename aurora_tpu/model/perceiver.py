@@ -8,6 +8,8 @@ dims are tiny (≈3–13) but the batch is huge, which XLA maps well onto the MX
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -149,6 +151,13 @@ def resampler_shared_query_apply(
     large — measured 2e-1 end-to-end vs 4e-3 for the value-only split
     (tools/production_drift.py decomposition, 2026-08-20).
     """
+    # PROBE-ONLY (tools/headline_bisect.py): revert to the round-3 full-bf16
+    # cross-attention — the behaviour b8bd0a5 fixed (20% production error) — so
+    # the throughput cost of the mandatory f32-q/k split can be priced on-chip.
+    # Never set outside the bisect tool.
+    if value_bf16 and os.environ.get("AURORA_UNSAFE_BF16_QK", "0") == "1":
+        ctx = ctx.astype(jnp.bfloat16)
+
     if k_major:
         K, M, D = ctx.shape
     else:
@@ -277,12 +286,16 @@ def resampler_shared_query_apply(
         b_kv = att["to_kv"].get("bias")
         pad = 0 if ctx.shape[1] % 8 == 0 else 8 - ctx.shape[1] % 8
         ctx_k = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0))) if pad else ctx
-        # Kernel-vs-XLA primal routing, measured on-chip at the flagship shapes
-        # (tools/perceiver_core_bench.py, 2026-08-20): the kernel wins the agg
-        # geometry (K>=Q: 1.17x bf16 / 1.35x f32) and f32 de-agg (1.08x); the
-        # bf16 de-agg (K<Q) runs 3% faster as flat XLA GEMMs — route it there,
-        # keeping the chunked-scan backward (the train-memory fix) either way.
-        use_kernel = (K >= Q) or not value_bf16
+        # Kernel-vs-XLA primal routing. The isolated microbench favoured the
+        # kernel for agg (1.17×) and f32 de-agg (1.08×) geometries
+        # (tools/perceiver_core_bench.py, 2026-08-20) — but the INTEGRATED
+        # forward measures the kernel primal at +46 ms/step (0.846 vs 0.800,
+        # tools/headline_bisect.py, same-session A/B, 2026-08-20), so the
+        # primal routes to the chunked XLA form everywhere; the fused-core
+        # wrapper is kept for its chunked-scan BACKWARD (the de-agg train-memory
+        # fix). AURORA_PERCEIVER_USE_KERNEL=1 re-enables the kernel primal for
+        # future re-measurement.
+        use_kernel = os.environ.get("AURORA_PERCEIVER_USE_KERNEL", "0") == "1"
         lat = perceiver_core_fused(
             ctx_k,
             w_kv[:, :inner],

@@ -1098,7 +1098,13 @@ def swin_block_apply(
 
     shortcut = x
 
-    stochastic = rng is not None and (dp_rate > 0.0 or cfg.drop_rate > 0.0)
+    # ``dp_rate`` may be a traced scalar (scan-over-blocks passes per-block rates
+    # as scan inputs); a traced rate always takes the stochastic path — the scan
+    # caller only feeds traced rates when stochastic training is on.
+    static_dp = isinstance(dp_rate, (int, float, np.floating))
+    stochastic = rng is not None and (
+        not static_dp or dp_rate > 0.0 or cfg.drop_rate > 0.0
+    )
     if stochastic:
         k_dp1, k_dp2, k_proj_do, k_hid_do, k_out_do = jax.random.split(rng, 5)
     kernel_ok = jax.default_backend() == "tpu" or _force_interpret()
@@ -1507,6 +1513,36 @@ def get_encoder_specs(cfg: BackboneConfig, patch_res: tuple[int, int, int]):
     return all_res, padded_outs
 
 
+def stack_backbone_blocks(bb_params):
+    """Convert each stage's per-block param LIST into one STACKED pytree.
+
+    Every leaf gains a leading ``depth`` axis (``jnp.stack`` over the blocks —
+    all blocks of a stage share one structure). :func:`_run_blocks` detects the
+    stacked layout and runs the stage as a ``lax.scan`` over block PAIRS
+    (unshifted + shifted), so the traced/compiled program holds 2 block bodies
+    per stage instead of ``depth`` — at 1.3 B that cuts the backbone's program
+    text ~4.5× (54 inlined blocks → 12 scan bodies), which is what the compiled
+    memory analysis showed as 0.99 GiB of generated code + a 2.45 GiB
+    program-overlays arena at 0.25° train (TRAIN_BENCH.json, round 4).
+
+    One-time, eager, layout-only: values are bit-identical, and
+    ``cast_backbone_params``/ZeRO placement are rank-generic so they compose.
+    """
+    def stack_stage(stage):
+        out = dict(stage)
+        blocks = stage["blocks"]
+        if isinstance(blocks, list):
+            out["blocks"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *blocks
+            )
+        return out
+
+    out = dict(bb_params)
+    for key in ("encoder_layers", "decoder_layers"):
+        out[key] = [stack_stage(st) for st in bb_params[key]]
+    return out
+
+
 def _run_blocks(
     p, x, c, res, num_heads, rollout_step, cfg: BackboneConfig,
     dp_rates: tuple[float, ...] = (), rng=None,
@@ -1518,7 +1554,16 @@ def _run_blocks(
     :func:`_layer_apply`): the reference checkpoints Basic3DEncoder/DecoderLayer *and*
     Swin3DTransformerBlock (aurora.py:508-515), i.e. nested remat — only layer inputs
     stay resident across the whole backward; per-block boundaries materialise one
-    layer at a time during that layer's recompute."""
+    layer at a time during that layer's recompute.
+
+    ``p["blocks"]`` may be a LIST of per-block trees (each block traced inline —
+    the parity-test layout) or one STACKED tree (:func:`stack_backbone_blocks`),
+    which runs as a ``lax.scan`` over (unshifted, shifted) block pairs — same
+    math, ~depth/2× less program text."""
+    if not isinstance(p["blocks"], list):
+        return _run_blocks_scan(
+            p["blocks"], x, c, res, num_heads, rollout_step, cfg, dp_rates, rng
+        )
     block = swin_block_apply
     if cfg.remat:
         block = jax.checkpoint(
@@ -1533,6 +1578,70 @@ def _run_blocks(
         dp = float(dp_rates[i]) if dp_rates else 0.0
         k = jax.random.fold_in(rng, i) if rng is not None else None
         x = block(bp, x, c, res, shift, num_heads, rollout_step, cfg, True, dp, k)
+    return x
+
+
+def _run_blocks_scan(
+    blocks, x, c, res, num_heads, rollout_step, cfg: BackboneConfig, dp_rates, rng
+):
+    """One U-Net stage as ``lax.scan`` over (unshifted, shifted) block PAIRS.
+
+    The shift pattern is the only thing that differs between a stage's blocks
+    (reference swin3d.py:677-679: shift = 0 for even block indices, window/2 for
+    odd), and it must stay STATIC (window geometry + host-built masks depend on
+    it) — so the scan body applies one unshifted and one shifted block and the
+    per-block weights arrive as scan inputs reshaped ``(depth, …) → (pairs, 2,
+    …)`` (a free leading-axis reshape of the stacked layout; every LARGE/Small
+    stage depth is even — an odd trailing block would run inline after the scan).
+
+    Numerics: identical to the inlined loop — the body math is the same trace,
+    weights are the same bits (leading-axis indexing), and the PRNG fold-in per
+    block index matches the eager path. One corner intentionally differs: with
+    stochastic training the per-STAGE body is traced once, so a mixed stage
+    (some blocks dp=0, some >0) runs ALL blocks down the unfused stochastic path
+    (a traced dp=0 is bitwise identity in drop_path), where the eager loop would
+    route its dp=0 blocks through the fused kernels — fused vs unfused agree to
+    kernel tolerance, not bitwise.
+    """
+    depth = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    full_shift = tuple(w // 2 for w in cfg.window_size)
+    stochastic = rng is not None and (
+        (len(dp_rates) > 0 and max(float(r) for r in dp_rates) > 0.0)
+        or cfg.drop_rate > 0.0
+    )
+    dp = np.asarray(dp_rates if len(dp_rates) else [0.0] * depth, np.float32)
+    assert dp.shape == (depth,), (dp.shape, depth)
+
+    if cfg.remat:
+        static = (3, 4, 5, 7, 8) if stochastic else (3, 4, 5, 7, 8, 9)
+        block = jax.checkpoint(swin_block_apply, static_argnums=static, policy=None)
+    else:
+        block = swin_block_apply
+
+    def apply_block(bp, xcur, i, shift, dp_i):
+        k = jax.random.fold_in(rng, i) if stochastic else None
+        dpr = dp_i if stochastic else 0.0
+        return block(bp, xcur, c, res, shift, num_heads, rollout_step, cfg, True, dpr, k)
+
+    pairs = depth // 2
+    if pairs:
+        paired = jax.tree_util.tree_map(
+            lambda a: a[: 2 * pairs].reshape(pairs, 2, *a.shape[1:]), blocks
+        )
+        dp_paired = jnp.asarray(dp[: 2 * pairs].reshape(pairs, 2))
+
+        def body(xcur, scanned):
+            bp, dpr, it = scanned
+            b0 = jax.tree_util.tree_map(lambda a: a[0], bp)
+            b1 = jax.tree_util.tree_map(lambda a: a[1], bp)
+            xcur = apply_block(b0, xcur, 2 * it, (0, 0, 0), dpr[0])
+            xcur = apply_block(b1, xcur, 2 * it + 1, full_shift, dpr[1])
+            return xcur, None
+
+        x, _ = jax.lax.scan(body, x, (paired, dp_paired, jnp.arange(pairs)))
+    if depth % 2:
+        last = jax.tree_util.tree_map(lambda a: a[-1], blocks)
+        x = apply_block(last, x, depth - 1, (0, 0, 0), dp[-1])
     return x
 
 

@@ -117,9 +117,17 @@ def window_bias_in_graph(groups: np.ndarray):
     instead of the 142 MiB f32 bias (0.25° stage 0): serialized modules shrink
     by ~330 MiB and the bias becomes a cheap elementwise temp XLA can CSE
     across blocks. Kernels consume the result exactly like the constant.
+
+    ``AURORA_MASK_CONSTANTS=1`` (trace-time env hook, like ``AURORA_FORCE_OVERPAD``)
+    reverts to embedding the f32 constant — the round-3 form — for same-session
+    A/B of the two representations (tools/headline_bisect.py).
     """
+    import os
+
     import jax.numpy as jnp
 
+    if os.environ.get("AURORA_MASK_CONSTANTS", "0") == "1":
+        return jnp.asarray(window_bias_from_groups(np.asarray(groups)))
     g = jnp.asarray(np.ascontiguousarray(groups))
     return jnp.where(g[:, :, None] == g[:, None, :], 0.0, -100.0).astype(jnp.float32)
 

@@ -64,7 +64,12 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
         pass
 
     from aurora_tpu.batch import Batch, Metadata
-    from aurora_tpu.model.aurora import Aurora, cast_backbone_params, init_params
+    from aurora_tpu.model.aurora import (
+        Aurora,
+        cast_backbone_params,
+        init_params,
+        stack_block_params,
+    )
     from aurora_tpu.model.config import LARGE_CONFIG
 
     # The PRODUCTION config: the flagship released checkpoint
@@ -83,6 +88,11 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     # serving default (foundry/models.py), −2.6 GiB HBM and ~1% faster
     # (tools/bf16_weights_probe.py: 0.803 vs 0.810 s/step same-run).
     params = cast_backbone_params(params)
+    # Stacked block params → each backbone stage runs as ONE lax.scan over block
+    # pairs instead of `depth` inlined blocks: bit-identical forward
+    # (tests/test_scan_blocks.py), ~4.5× less program text, and first-step
+    # compile 192 → well under 60 s (tools/headline_bisect.py --layout stacked).
+    params = stack_block_params(params)
 
     data = make_numpy_batch()
     batch = Batch(

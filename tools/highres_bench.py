@@ -60,9 +60,9 @@ def main():
     # Serving configuration: backbone weights stored bf16 (bitwise-identical
     # backbone compute under autocast — the kernels cast per use anyway). Saves
     # ~2.4 GiB of HBM: program total 15.7 -> 13.3 GiB on the 15.75 GiB v5e.
-    from aurora_tpu.model.aurora import cast_backbone_params
+    from aurora_tpu.model.aurora import cast_backbone_params, stack_block_params
 
-    params = cast_backbone_params(params)
+    params = stack_block_params(cast_backbone_params(params))
     enc = model.prepare_encodings(batch, dtype=jnp.float32)
     surf = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.surf_vars.items()}
     static = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.static_vars.items()}

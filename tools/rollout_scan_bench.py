@@ -44,7 +44,7 @@ def main():
     from bench import LEVELS, make_numpy_batch
     from aurora_tpu import cast_backbone_params
     from aurora_tpu.batch import Batch, Metadata
-    from aurora_tpu.model.aurora import Aurora, init_params
+    from aurora_tpu.model.aurora import Aurora, init_params, stack_block_params
     from aurora_tpu.model.config import LARGE_CONFIG
     from aurora_tpu.rollout import rollout_scan
 
@@ -54,7 +54,7 @@ def main():
     )
     model = Aurora(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    params = cast_backbone_params(params)
+    params = stack_block_params(cast_backbone_params(params))
 
     import bench as _bench
 

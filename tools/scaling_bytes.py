@@ -77,7 +77,12 @@ def run_cell(mesh_str: str, mode: str, params_mode: str) -> dict:
 
     from bench import LEVELS, make_numpy_batch
     from aurora_tpu.batch import Batch, Metadata
-    from aurora_tpu.model.aurora import Aurora, forward_core, init_params
+    from aurora_tpu.model.aurora import (
+        Aurora,
+        forward_core,
+        init_params,
+        stack_block_params,
+    )
     from aurora_tpu.model.config import LARGE_CONFIG
     from aurora_tpu.parallel.mesh import make_mesh
     from aurora_tpu.parallel.sharding import (
@@ -102,10 +107,13 @@ def run_cell(mesh_str: str, mode: str, params_mode: str) -> dict:
         # ShapeDtypeStructs carrying NamedShardings compile the identical SPMD
         # program with zero device buffers.
         params = jax.eval_shape(
-            lambda k: init_params(k, cfg, dtype=jnp.float32), jax.random.PRNGKey(0)
+            lambda k: stack_block_params(init_params(k, cfg, dtype=jnp.float32)),
+            jax.random.PRNGKey(0),
         )
     else:
-        params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        params = stack_block_params(
+            init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        )
     data = make_numpy_batch(B=d)  # batch must divide the data axis
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],

@@ -58,7 +58,7 @@ def main():
     from bench import LEVELS, make_numpy_batch
     from aurora_tpu import cast_backbone_params
     from aurora_tpu.batch import Batch, Metadata
-    from aurora_tpu.model.aurora import Aurora, init_params
+    from aurora_tpu.model.aurora import Aurora, init_params, stack_block_params
     from aurora_tpu.model.config import LARGE_CONFIG
     from aurora_tpu.training.train import adamw, lora_mask, make_train_step
 
@@ -89,6 +89,10 @@ def main():
         # Frozen base → bf16-stored backbone weights are free memory (bitwise
         # identical under autocast); LoRA adapters stay f32 master copies.
         params = cast_backbone_params(params)
+    # Scan-over-blocks: the round-4 0.25° train step was bounded by program text
+    # (0.99 GiB generated code + 2.45 GiB overlays + 4.08 GiB fragmentation);
+    # stacked block params shrink each stage to one scanned body.
+    params = stack_block_params(params)
 
     import bench as _bench
 
