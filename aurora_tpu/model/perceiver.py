@@ -286,16 +286,21 @@ def resampler_shared_query_apply(
         b_kv = att["to_kv"].get("bias")
         pad = 0 if ctx.shape[1] % 8 == 0 else 8 - ctx.shape[1] % 8
         ctx_k = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0))) if pad else ctx
-        # Kernel-vs-XLA primal routing. The isolated microbench favoured the
-        # kernel for agg (1.17×) and f32 de-agg (1.08×) geometries
-        # (tools/perceiver_core_bench.py, 2026-08-20) — but the INTEGRATED
-        # forward measures the kernel primal at +46 ms/step (0.846 vs 0.800,
-        # tools/headline_bisect.py, same-session A/B, 2026-08-20), so the
-        # primal routes to the chunked XLA form everywhere; the fused-core
-        # wrapper is kept for its chunked-scan BACKWARD (the de-agg train-memory
-        # fix). AURORA_PERCEIVER_USE_KERNEL=1 re-enables the kernel primal for
-        # future re-measurement.
-        use_kernel = os.environ.get("AURORA_PERCEIVER_USE_KERNEL", "0") == "1"
+        # Kernel-vs-XLA primal routing, measured on-chip at the flagship shapes:
+        # the kernel wins the agg geometry (K>=Q: 1.17× bf16 / 1.35× f32) and f32
+        # de-agg (1.08×) in isolation (tools/perceiver_core_bench.py), and the
+        # round-5 same-session integrated bisect (tools/headline_bisect.py,
+        # 2026-08-20, run 3) confirms it within noise of the best form (kernel_on
+        # 0.800-0.804 vs core_off 0.799 s/step) — while the chunked-XLA primal
+        # INSIDE this wrapper is the one clearly bad form (+50 ms/step, run 2).
+        # The bf16 de-agg (K<Q) still routes to flat XLA GEMMs (3% faster there);
+        # the chunked-scan backward (the train-memory fix) applies either way.
+        # AURORA_PERCEIVER_USE_KERNEL=0/1 forces the routing for A/B probes.
+        _force = os.environ.get("AURORA_PERCEIVER_USE_KERNEL")
+        if _force is not None:
+            use_kernel = _force == "1"
+        else:
+            use_kernel = (K >= Q) or not value_bf16
         lat = perceiver_core_fused(
             ctx_k,
             w_kv[:, :inner],

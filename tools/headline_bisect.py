@@ -84,8 +84,6 @@ def main():
     print("initialising 1.3B params ...", file=sys.stderr, flush=True)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     params = cast_backbone_params(params)
-    if args.layout == "stacked":
-        params = stack_block_params(params)
 
     data = make_numpy_batch()
     batch = Batch(
@@ -124,9 +122,18 @@ def main():
         "AURORA_UNSAFE_BF16_QK",
     )
 
+    stacked_params = None
     out = {"metric": "headline_bisect", "steps": args.steps,
            "cold_cache": not args.keep_cache}
-    for arm in args.arms.split(","):
+    # An arm may carry a per-arm layout suffix: "core_off:stacked" measures that
+    # arm with scan-over-blocks params in the SAME session (cross-session chip
+    # noise is ~5%, so only same-session deltas are trustworthy).
+    for arm_spec in args.arms.split(","):
+        arm, _, arm_layout = arm_spec.partition(":")
+        arm_layout = arm_layout or args.layout
+        if arm_layout == "stacked" and stacked_params is None:
+            stacked_params = stack_block_params(params)
+        arm_params = stacked_params if arm_layout == "stacked" else params
         env = ARMS[arm]
         for k in KNOBS:
             os.environ.pop(k, None)
@@ -135,7 +142,7 @@ def main():
         fwd = jax.jit(partial(forward_core, atmos_levels=levels, cfg=cfg))
 
         def run_once(i):
-            o = fwd(params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
+            o = fwd(arm_params, surf, static, atmos, enc, jnp.asarray(i % 3, jnp.int32))
             leaf = jax.tree_util.tree_leaves(o)[0]
             return float(leaf[(0,) * leaf.ndim])
 
@@ -148,14 +155,15 @@ def main():
             run_once(i)
             times.append(time.time() - t0)
         dt = min(times)
+        key = arm_spec.replace(":", "_")
         print(
-            f"{arm}: {dt:.3f} s/step (compile {compile_s:.1f} s) "
+            f"{arm_spec}: {dt:.3f} s/step (compile {compile_s:.1f} s) "
             f"({[f'{t:.3f}' for t in times]})",
             file=sys.stderr, flush=True,
         )
-        out[f"{arm}_s_per_step"] = round(dt, 4)
-        out[f"{arm}_compile_s"] = round(compile_s, 1)
-        out[f"{arm}_times"] = [round(t, 4) for t in times]
+        out[f"{key}_s_per_step"] = round(dt, 4)
+        out[f"{key}_compile_s"] = round(compile_s, 1)
+        out[f"{key}_times"] = [round(t, 4) for t in times]
 
     for k in KNOBS:
         os.environ.pop(k, None)

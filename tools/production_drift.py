@@ -56,8 +56,14 @@ def open_gates_and_lora(params, scale_mod=0.05, scale_b=0.02):
     return jtu.tree_map_with_path(f, params)
 
 
-def run_rollout(mode: str, steps: int, H: int, W: int, small: bool):
+def run_rollout(mode: str, steps: int, H: int, W: int, small: bool, perturb: float = 0.0):
     """Roll out ``steps`` steps in ``mode`` ('f32' | 'production'); return host preds.
+
+    ``perturb`` adds iid relative noise of that magnitude to every input field
+    (surface + atmospheric) before the roll-out — the CHAOS CONTROL: running the
+    same f32 stack from a ~1e-6-perturbed initial condition measures how fast the
+    model itself amplifies infinitesimal differences, the yardstick against which
+    the production stack's drift must be judged (VERDICT r4 missing #3).
 
     Returns ``[{var: np.ndarray(B, H, W) | (B, C, H, W)}, ...]`` per step (surface
     and atmos merged with distinct keys).
@@ -123,6 +129,20 @@ def run_rollout(mode: str, steps: int, H: int, W: int, small: bool):
         ),
     ).crop(cfg.patch_size)
     enc = model.prepare_encodings(batch, dtype=jnp.float32)
+    if perturb:
+        prng = np.random.default_rng(1234)
+        batch = Batch(
+            surf_vars={
+                k: v * (1.0 + perturb * prng.standard_normal(v.shape).astype(v.dtype))
+                for k, v in batch.surf_vars.items()
+            },
+            static_vars=batch.static_vars,
+            atmos_vars={
+                k: v * (1.0 + perturb * prng.standard_normal(v.shape).astype(v.dtype))
+                for k, v in batch.atmos_vars.items()
+            },
+            metadata=batch.metadata,
+        )
     surf = {k: jnp.asarray(v) for k, v in batch.surf_vars.items()}
     static = {k: jnp.asarray(v) for k, v in batch.static_vars.items()}
     atmos = {k: jnp.asarray(v) for k, v in batch.atmos_vars.items()}
@@ -148,6 +168,8 @@ def main():
     ap.add_argument("--H", type=int, default=721)
     ap.add_argument("--W", type=int, default=1440)
     ap.add_argument("--small", action="store_true", help="CPU-sized smoke config")
+    ap.add_argument("--perturb", type=float, default=1e-6,
+                    help="relative input perturbation for the chaos control")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -167,40 +189,87 @@ def main():
     ref = run_rollout("f32", args.steps, args.H, args.W, args.small)
     gc.collect()
     prod = run_rollout("production", args.steps, args.H, args.W, args.small)
+    gc.collect()
+    # CHAOS CONTROL: the same f32 stack from a ~1e-6-relatively-perturbed initial
+    # condition. Its divergence from the unperturbed f32 run is pure model chaos
+    # amplification — the envelope the production stack's drift must track for
+    # the drift to be certified benign (faster growth ⇒ a systematic bias).
+    chaos = run_rollout(
+        "f32", args.steps, args.H, args.W, args.small, perturb=args.perturb
+    )
+    gc.collect()
 
-    per_step = []
-    for i, (r, p) in enumerate(zip(ref, prod)):
-        errs = {}
-        for k in r:
-            scale = float(np.abs(r[k]).max()) + 1e-30
-            errs[k] = float(np.abs(p[k] - r[k]).max()) / scale
-        per_step.append(
-            {
-                "step": i + 1,
-                "max_rel_err": max(errs.values()),
-                "surf_max": max(v for k, v in errs.items() if k.startswith("surf:")),
-                "atmos_max": max(v for k, v in errs.items() if k.startswith("atmos:")),
-                "worst_var": max(errs, key=errs.get),
-            }
-        )
+    # Latitude weights for the area-weighted RMSE drift: preds are on the CROPPED
+    # grid (top-aligned — Batch.crop drops the southernmost row).
+    H_pred = next(iter(ref[0].values())).shape[-2]
+    lat = np.linspace(90, -90, args.H)[:H_pred]
+    w_lat = np.cos(np.deg2rad(lat))
+    w_lat = w_lat / w_lat.mean()
+    w_bc = w_lat[:, None]  # broadcasts over (..., H, W)
+
+    def curve(a_steps, b_steps):
+        """Per-step {max_rel, wrmse_rel, worst vars} between two pred sequences."""
+        rows = []
+        for i, (r, p) in enumerate(zip(a_steps, b_steps)):
+            max_errs, wrmse_errs = {}, {}
+            for k in r:
+                d = p[k] - r[k]
+                scale = float(np.abs(r[k]).max()) + 1e-30
+                max_errs[k] = float(np.abs(d).max()) / scale
+                # Area-weighted relative RMSE: one grid point cannot set it.
+                num = float(np.sqrt(np.mean(w_bc * d.astype(np.float64) ** 2)))
+                den = float(np.sqrt(np.mean(w_bc * r[k].astype(np.float64) ** 2))) + 1e-30
+                wrmse_errs[k] = num / den
+            rows.append(
+                {
+                    "step": i + 1,
+                    "max_rel_err": max(max_errs.values()),
+                    "wrmse_rel": max(wrmse_errs.values()),
+                    "wrmse_median": float(np.median(list(wrmse_errs.values()))),
+                    "worst_var_max": max(max_errs, key=max_errs.get),
+                    "worst_var_wrmse": max(wrmse_errs, key=wrmse_errs.get),
+                }
+            )
+        return rows
+
+    prod_curve = curve(ref, prod)
+    chaos_curve = curve(ref, chaos)
+    for pr, ch in zip(prod_curve, chaos_curve):
         print(
-            f"step {i+1}: max_rel_err {per_step[-1]['max_rel_err']:.3e} "
-            f"(worst {per_step[-1]['worst_var']})",
+            f"step {pr['step']}: prod max_rel {pr['max_rel_err']:.3e} "
+            f"wrmse {pr['wrmse_rel']:.3e} ({pr['worst_var_wrmse']}) | "
+            f"chaos(1e-6) max_rel {ch['max_rel_err']:.3e} wrmse {ch['wrmse_rel']:.3e}",
             file=sys.stderr, flush=True,
         )
+
+    # Error budget: the production stack's step-1 rounding injection is ~7e-3
+    # max-rel (bf16 backbone autocast + value-path bf16 perceiver); if later
+    # steps grow at the CHAOS rate (per-step amplification of the control), the
+    # compounding is the model's own sensitivity, not accumulating bias.
+    def growth(curve_rows, key):
+        vals = [r[key] for r in curve_rows]
+        return [round(b / max(a, 1e-30), 2) for a, b in zip(vals, vals[1:])]
 
     result = {
         "config": "small" if args.small else "LARGE 1.3B",
         "grid": [args.H, args.W],
         "steps": args.steps,
         "production_stack": "autocast + agg_bf16 + deagg_bf16 + cast_backbone_params + LoRA fold",
-        "max_rel_err": max(s["max_rel_err"] for s in per_step),
-        "final_step_rel_err": per_step[-1]["max_rel_err"],
-        "per_step": per_step,
+        "max_rel_err": max(s["max_rel_err"] for s in prod_curve),
+        "final_step_rel_err": prod_curve[-1]["max_rel_err"],
+        "final_step_wrmse_rel": prod_curve[-1]["wrmse_rel"],
+        "chaos_perturbation": args.perturb,
+        "chaos_final_step_rel_err": chaos_curve[-1]["max_rel_err"],
+        "chaos_final_step_wrmse_rel": chaos_curve[-1]["wrmse_rel"],
+        "prod_step_growth_wrmse": growth(prod_curve, "wrmse_rel"),
+        "chaos_step_growth_wrmse": growth(chaos_curve, "wrmse_rel"),
+        "per_step": prod_curve,
+        "chaos_per_step": chaos_curve,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: v for k, v in result.items() if k != "per_step"}))
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("per_step", "chaos_per_step")}))
 
 
 if __name__ == "__main__":
