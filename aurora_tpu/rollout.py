@@ -116,11 +116,11 @@ def rollout_scan(
             )
         )
 
-    def make_scan_body(params_, static_):
+    def make_scan_body(params_, static_, enc0_):
         def body(carry, xs):
             surf, atmos, step = carry
             abs_t_i, dyn_i = xs
-            enc_i = _dc.replace(enc0, absolute_time=abs_t_i, dynamic_scalars=dyn_i)
+            enc_i = _dc.replace(enc0_, absolute_time=abs_t_i, dynamic_scalars=dyn_i)
             surf_pred, atmos_pred = forward_core(
                 params_, surf, static_, atmos, enc_i, step, levels, cfg
             )
@@ -152,20 +152,21 @@ def rollout_scan(
     if host_offload:
         # Donate the rolling history so XLA updates the carry in place: device
         # memory stays at one step's working set for any number of steps. Fresh
-        # copies are donated — the caller's batch arrays must survive. Params
-        # and statics are explicit jit ARGUMENTS: closing over them would bake
-        # the 2.8 GiB tree into the program as constants (hour-long compiles,
-        # program-text bloat).
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def run(params_, static_, carry, xs):
+        # copies are donated — the caller's batch arrays must survive. Params,
+        # statics AND the step-0 encodings are explicit jit ARGUMENTS: closing
+        # over them would bake them into the program as constants (the 2.8 GiB
+        # param tree, and the (L, D) pos/scale encodings — ~0.27 GiB at 0.25°,
+        # which alone overran the dev tunnel's compile request limit).
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def run(params_, static_, enc0_, carry, xs):
             final_carry, _ = jax.lax.scan(
-                make_scan_body(params_, static_), carry, xs, length=steps
+                make_scan_body(params_, static_, enc0_), carry, xs, length=steps
             )
             return final_carry
 
         surf_d = {k: jnp.array(v) for k, v in surf0.items()}
         atmos_d = {k: jnp.array(v) for k, v in atmos0.items()}
-        run(params, static0, (surf_d, atmos_d, step0), xs)
+        run(params, static0, enc0, (surf_d, atmos_d, step0), xs)
         jax.effects_barrier()
         assert len(host_store) == steps
         per_step = [
@@ -174,7 +175,8 @@ def rollout_scan(
         ]
     else:
         (_, _, _), (surf_stack, atmos_stack) = jax.lax.scan(
-            make_scan_body(params, static0), (surf0, atmos0, step0), xs, length=steps
+            make_scan_body(params, static0, enc0), (surf0, atmos0, step0), xs,
+            length=steps
         )
         per_step = [
             (
