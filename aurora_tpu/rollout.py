@@ -166,6 +166,17 @@ def rollout_scan(
 
         surf_d = {k: jnp.array(v) for k, v in surf0.items()}
         atmos_d = {k: jnp.array(v) for k, v in atmos0.items()}
+        import os as _os
+
+        if _os.environ.get("AURORA_SCAN_DEBUG_SIZE"):
+            low = run.lower(params, static0, enc0, (surf_d, atmos_d, step0), xs)
+            import sys as _sys
+
+            print(
+                f"rollout_scan lowered StableHLO: "
+                f"{len(low.as_text()) / 2**20:.1f} MiB text",
+                file=_sys.stderr, flush=True,
+            )
         run(params, static0, enc0, (surf_d, atmos_d, step0), xs)
         jax.effects_barrier()
         assert len(host_store) == steps

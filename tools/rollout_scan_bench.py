@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--H", type=int, default=721)
     ap.add_argument("--W", type=int, default=1440)
+    ap.add_argument(
+        "--no-offload", action="store_true",
+        help="device-resident predictions (the tunnelled dev runtime does not "
+             "support host callbacks: an io_callback program — even a trivial "
+             "one — hangs in remote compile and errors UNAVAILABLE after ~25 "
+             "min, measured 2026-08-20; 10 steps of 0.25° predictions are "
+             "~2.9 GB, well within HBM)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -72,7 +80,9 @@ def main():
     )
 
     t0 = time.time()
-    preds = rollout_scan(model, params, batch, steps=args.steps, host_offload=True)
+    preds = rollout_scan(
+        model, params, batch, steps=args.steps, host_offload=not args.no_offload
+    )
     wall_cold = time.time() - t0
     assert len(preds) == args.steps
     last = preds[-1]
@@ -82,11 +92,13 @@ def main():
     print(f"cold (incl. compile): {wall_cold:.1f}s", file=sys.stderr, flush=True)
     del preds
     t0 = time.time()
-    preds = rollout_scan(model, params, batch, steps=args.steps, host_offload=True)
+    preds = rollout_scan(
+        model, params, batch, steps=args.steps, host_offload=not args.no_offload
+    )
     wall = time.time() - t0
     gp = (args.H - 1) * args.W
     out = {
-        "metric": "rollout_scan_host_offload",
+        "metric": "rollout_scan_host_offload" if not args.no_offload else "rollout_scan_device_resident",
         "grid": [args.H, args.W],
         "steps": args.steps,
         "wall_s": round(wall, 2),
