@@ -261,6 +261,17 @@ def main():
             log(f"non-LoRA comparison failed: {e}")
     # 10-step roll-out parity vs the torch reference (small model, f32), produced by
     # tools/rollout_parity.py and cached — the other half of the north-star pair.
+    # The single-compiled-scan roll-out datapoint (tools/rollout_scan_bench.py):
+    # one lax.scan program for the whole roll-out beats the eager per-step path
+    # (dispatch amortised) — report it next to the eager number when measured.
+    scan_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_SCAN_BENCH.json"
+    )
+    if os.path.exists(scan_file):
+        with open(scan_file) as f:
+            sc = json.load(f)
+        extra["rollout_scan_steps_per_s"] = sc.get("rollout_steps_per_s")
+        extra["rollout_scan_grid_points_per_s"] = sc.get("grid_points_per_s")
     parity_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_PARITY.json")
     if os.path.exists(parity_file):
         with open(parity_file) as f:
