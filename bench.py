@@ -157,7 +157,7 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
             times2.append(time.time() - t0)
         log(f"second-window step times: {[f'{t:.3f}' for t in times2]}")
         dt = min(dt, *times2)
-        return grid_points / dt, dt, None
+        return grid_points / dt, dt, None, None
 
     # Roll-out steps/s (BASELINE.json north-star pair): the autoregressive feedback
     # loop with all state device-resident — each step's prediction is concatenated
@@ -195,7 +195,36 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     log(f"second-window step times: {[f'{t:.3f}' for t in times2]}")
     dt = min(dt, *times2)
 
-    return grid_points / dt, dt, 1.0 / dt_roll
+    # The compiled-scan roll-out: ONE lax.scan program for the whole roll-out
+    # (stacked scan-over-blocks params). This is the fastest production forward
+    # path — dispatch is amortised across steps (0.787 vs 0.799+ s/step eager,
+    # ROLLOUT_SCAN_BENCH.json) — and it is how a production deployment actually
+    # runs the autoregressive forecast, so the headline takes the best of the
+    # two paths; both are reported.
+    dt_scan = None
+    try:
+        from aurora_tpu.model.aurora import stack_block_params
+        from aurora_tpu.rollout import rollout_scan
+
+        sparams = stack_block_params(params)
+        n_scan = 3
+
+        def scan_once():
+            t0 = time.time()
+            preds = rollout_scan(model, sparams, batch, steps=n_scan, host_offload=False)
+            leaf = next(iter(preds[-1].surf_vars.values()))
+            float(leaf[(0,) * leaf.ndim])  # sync
+            return (time.time() - t0) / n_scan
+
+        scan_once()  # compile
+        dt_scan = min(scan_once(), scan_once())
+        log(f"compiled-scan rollout: {dt_scan:.3f} s/step")
+        del sparams
+    except Exception as e:  # keep the eager headline on any failure
+        log(f"compiled-scan rollout measurement failed: {e}")
+
+    best = min(dt, dt_scan) if dt_scan else dt
+    return grid_points / best, dt, 1.0 / dt_roll, dt_scan
 
 
 def bench_torch_reference():
@@ -242,10 +271,16 @@ def bench_torch_reference():
 
 
 def main():
-    value, dt, roll_sps = bench_jax(use_lora=True)
+    value, dt, roll_sps, scan_dt = bench_jax(use_lora=True)
     baseline = bench_torch_reference()
     vs = value / baseline if baseline else 1.0
     extra = {"rollout_steps_per_s": round(roll_sps, 3)}
+    extra["eager_s_per_step"] = round(dt, 4)
+    if scan_dt:
+        # Same-run compiled-scan roll-out per-step time (the production path the
+        # headline `value` takes when it wins; see bench_jax).
+        extra["scan_s_per_step"] = round(scan_dt, 4)
+        extra["rollout_scan_steps_per_s_same_run"] = round(1.0 / scan_dt, 3)
     if os.environ.get("AURORA_BENCH_NOLORA", "1") == "1":
         # The LoRA fold must keep the production config within a few % of the
         # non-LoRA fast path (VERDICT r2 weak #3: done = gap < 10%).
@@ -253,7 +288,7 @@ def main():
             import gc
 
             gc.collect()  # free the first model's device buffers before re-initialising
-            v0, _, _ = bench_jax(use_lora=False, measure_rollout=False)
+            v0, _, _, _ = bench_jax(use_lora=False, measure_rollout=False)
             extra["nolora_grid_points_per_s"] = round(v0, 1)
             extra["lora_vs_nolora"] = round(value / v0, 4)
             log(f"LoRA/non-LoRA throughput ratio: {value / v0:.4f}")
@@ -272,6 +307,17 @@ def main():
             sc = json.load(f)
         extra["rollout_scan_steps_per_s"] = sc.get("rollout_steps_per_s")
         extra["rollout_scan_grid_points_per_s"] = sc.get("grid_points_per_s")
+    # Full-scale single-step torch anchors (tools/torch_anchor.py): the 1.3 B
+    # reference's own forward on this batch vs ours, f32-HIGHEST (numerical
+    # contract) and the production stack (VERDICT r4 weak #3).
+    anchor_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "TORCH_ANCHOR.json"
+    )
+    if os.path.exists(anchor_file):
+        with open(anchor_file) as f:
+            an = json.load(f)
+        extra["fullscale_f32_vs_torch_max_rel"] = an["f32_highest"]["max_rel_err"]
+        extra["fullscale_production_vs_torch_max_rel"] = an["production"]["max_rel_err"]
     parity_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ROLLOUT_PARITY.json")
     if os.path.exists(parity_file):
         with open(parity_file) as f:
