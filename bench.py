@@ -195,36 +195,14 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     log(f"second-window step times: {[f'{t:.3f}' for t in times2]}")
     dt = min(dt, *times2)
 
-    # The compiled-scan roll-out: ONE lax.scan program for the whole roll-out
-    # (stacked scan-over-blocks params). This is the fastest production forward
-    # path — dispatch is amortised across steps (0.787 vs 0.799+ s/step eager,
-    # ROLLOUT_SCAN_BENCH.json) — and it is how a production deployment actually
-    # runs the autoregressive forecast, so the headline takes the best of the
-    # two paths; both are reported.
-    dt_scan = None
-    try:
-        from aurora_tpu.model.aurora import stack_block_params
-        from aurora_tpu.rollout import rollout_scan
-
-        sparams = stack_block_params(params)
-        n_scan = 3
-
-        def scan_once():
-            t0 = time.time()
-            preds = rollout_scan(model, sparams, batch, steps=n_scan, host_offload=False)
-            leaf = next(iter(preds[-1].surf_vars.values()))
-            float(leaf[(0,) * leaf.ndim])  # sync
-            return (time.time() - t0) / n_scan
-
-        scan_once()  # compile
-        dt_scan = min(scan_once(), scan_once())
-        log(f"compiled-scan rollout: {dt_scan:.3f} s/step")
-        del sparams
-    except Exception as e:  # keep the eager headline on any failure
-        log(f"compiled-scan rollout measurement failed: {e}")
-
-    best = min(dt, dt_scan) if dt_scan else dt
-    return grid_points / best, dt, 1.0 / dt_roll, dt_scan
+    # The compiled-scan roll-out (ONE lax.scan program, stacked params) is the
+    # fastest production path — 0.787 s/step vs 0.799+ eager, measured by
+    # tools/rollout_scan_bench.py (ROLLOUT_SCAN_BENCH.json, reported in the
+    # extras). It is NOT re-measured inside bench: the in-run attempt needs a
+    # second stacked param tree next to the eager state and OOMs the 15.75 GiB
+    # chip (measured), and its per-call eager-scan overheads (retrace + tunnel
+    # dispatch of per-step slices) polluted the sample anyway.
+    return grid_points / dt, dt, 1.0 / dt_roll, None
 
 
 def bench_torch_reference():
