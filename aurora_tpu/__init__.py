@@ -18,6 +18,7 @@ from aurora_tpu.model.aurora import (
     AuroraSmallPretrained,
     AuroraWave,
     cast_backbone_params,
+    stack_block_params,
 )
 from aurora_tpu.model.config import AuroraConfig
 from aurora_tpu.rollout import rollout, rollout_scan
@@ -39,5 +40,6 @@ __all__ = [
     "rollout",
     "rollout_scan",
     "cast_backbone_params",
+    "stack_block_params",
     "metrics",
 ]

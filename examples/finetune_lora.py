@@ -31,6 +31,12 @@ def main():
     model = AuroraPretrained(autocast=True, remat=True, use_lora=True)
     # params = model.load_checkpoint()          # released weights (LoRA included)
     params = model.init(jax.random.PRNGKey(0))  # or from scratch
+    # Scan-over-blocks layout: this is what fits the full 0.25° LoRA fine-tune
+    # step on ONE 16 GiB chip (13.38 GiB peak — TRAIN_BENCH.json; the reference
+    # recipe needs an 80 GB A100).
+    from aurora_tpu import stack_block_params
+
+    params = stack_block_params(params)
 
     optimizer = adamw(1e-3, trainable=lora_mask, accum_steps=2)
     train_step = make_train_step(model.cfg, optimizer, LEVELS, trainable=lora_mask)

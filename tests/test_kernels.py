@@ -438,3 +438,17 @@ def test_mlp_chunked_backward_matches(monkeypatch):
     for a, b in zip(g1, g2):
         err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30))
         assert err < 1e-5, (a.shape, err)
+
+
+def test_mask_constants_knob_is_value_identical(monkeypatch):
+    """AURORA_MASK_CONSTANTS=1 (the headline-bisect probe arm) swaps the in-graph
+    where() bias for the embedded f32 constant — same values bit for bit."""
+    import jax.numpy as jnp
+
+    from aurora_tpu.ops import masks
+
+    g = masks.window_group_ids(4, 12, 24, (2, 6, 12), (1, 3, 6))
+    in_graph = masks.window_bias_in_graph(g)
+    monkeypatch.setenv("AURORA_MASK_CONSTANTS", "1")
+    constant = masks.window_bias_in_graph(g)
+    assert jnp.array_equal(in_graph, jnp.asarray(constant))
