@@ -187,3 +187,29 @@ def test_rollout_scan_host_offload_matches():
             assert rel < 1e-5, f"atmos {k}: {rel:.3e}"
     # The caller's batch arrays survive the donation.
     _ = np.asarray(next(iter(batch.surf_vars.values())))
+
+
+def test_rollout_scan_stacked_params_matches():
+    """The PRODUCTION combination — stacked (scan-over-blocks) params inside the
+    single-program scan roll-out (what rollout_scan_bench / serving run) — must
+    match the list-layout scan step for step."""
+    from aurora_tpu.model.aurora import stack_block_params
+    from aurora_tpu.rollout import rollout_scan
+
+    model = AuroraSmallPretrained()
+    params = model.init(jax.random.PRNGKey(0))
+    batch = make_batch(dtype=np.float32)
+
+    list_preds = rollout_scan(model, params, batch, steps=3)
+    stacked_preds = rollout_scan(model, stack_block_params(params), batch, steps=3)
+    assert len(stacked_preds) == 3
+    for a, b in zip(list_preds, stacked_preds):
+        assert b.metadata.rollout_step == a.metadata.rollout_step
+        for k in a.surf_vars:
+            x, y = np.asarray(a.surf_vars[k]), np.asarray(b.surf_vars[k])
+            rel = np.abs(x - y).max() / (np.abs(x).max() + 1e-30)
+            assert rel < 1e-6, f"surf {k}: {rel:.3e}"
+        for k in a.atmos_vars:
+            x, y = np.asarray(a.atmos_vars[k]), np.asarray(b.atmos_vars[k])
+            rel = np.abs(x - y).max() / (np.abs(x).max() + 1e-30)
+            assert rel < 1e-6, f"atmos {k}: {rel:.3e}"
