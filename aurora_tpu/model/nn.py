@@ -161,7 +161,10 @@ def drop_path(x: jax.Array, rate: float, key: Optional[jax.Array]) -> jax.Array:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return x * mask.astype(x.dtype) / keep
+    # Divide in x.dtype: a traced (or strongly-typed numpy) rate would otherwise
+    # promote bf16 activations to f32 — which breaks the scan-over-blocks carry
+    # dtype under the autocast backbone (lax.scan requires a fixed carry type).
+    return x * mask.astype(x.dtype) / jnp.asarray(keep, x.dtype)
 
 
 def sdpa(

@@ -154,8 +154,17 @@ def resampler_shared_query_apply(
     # PROBE-ONLY (tools/headline_bisect.py): revert to the round-3 full-bf16
     # cross-attention — the behaviour b8bd0a5 fixed (20% production error) — so
     # the throughput cost of the mandatory f32-q/k split can be priced on-chip.
-    # Never set outside the bisect tool.
+    # Never set outside the bisect tool; loudly announced so a leaked env var
+    # cannot silently corrupt a serving or training process.
     if value_bf16 and os.environ.get("AURORA_UNSAFE_BF16_QK", "0") == "1":
+        import sys as _sys
+
+        print(
+            "WARNING: AURORA_UNSAFE_BF16_QK=1 — perceiver q/k/logits running in "
+            "bf16. This reintroduces a ~20% production error (b8bd0a5) and is "
+            "only for throughput probes.",
+            file=_sys.stderr, flush=True,
+        )
         ctx = ctx.astype(jnp.bfloat16)
 
     if k_major:

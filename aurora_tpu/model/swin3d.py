@@ -1641,7 +1641,9 @@ def _run_blocks_scan(
         x, _ = jax.lax.scan(body, x, (paired, dp_paired, jnp.arange(pairs)))
     if depth % 2:
         last = jax.tree_util.tree_map(lambda a: a[-1], blocks)
-        x = apply_block(last, x, depth - 1, (0, 0, 0), dp[-1])
+        # float(): a strong np.float32 rate would upcast a bf16 block (see
+        # drop_path); the eager loop passes weak Python floats too.
+        x = apply_block(last, x, depth - 1, (0, 0, 0), float(dp[-1]))
     return x
 
 

@@ -171,3 +171,22 @@ def test_scan_blocks_shrinks_program_text():
     assert scan_len < 0.6 * inline_len, (
         f"scan program not smaller: {scan_len} vs {inline_len}"
     )
+
+
+def test_scan_blocks_stochastic_bf16_carry():
+    """Autocast training regression: with a bf16 token carry and traced drop-path
+    rates, drop_path must not upcast the branch to f32 — lax.scan requires a
+    fixed carry dtype (found by review; failed at trace time before the fix)."""
+    cfg = _cfg(drop_path=0.2, drop_rate=0.1)
+    patch_res = (4, 8, 16)
+    params, x, lead, step = _setup(cfg, patch_res)
+    stacked = swin3d.stack_backbone_blocks(params)
+    rng = jax.random.PRNGKey(3)
+
+    x16 = x.astype(jnp.bfloat16)
+    out = swin3d.backbone_apply(stacked, x16, lead, step, patch_res, cfg, rng=rng)
+    assert out.dtype == jnp.bfloat16
+    ref = swin3d.backbone_apply(params, x16, lead, step, patch_res, cfg, rng=rng)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )

@@ -114,8 +114,14 @@ def main():
             "AURORA_UNSAFE_BF16_QK": "1",
             "AURORA_FUSE_PERCEIVER_CORE": "0",
         },
+        # Single-shot (unchunked) XLA primal for the wrapper's non-kernel
+        # geometries (bf16 de-agg): the 8-chunk lax.map exists for TRAIN
+        # transients; inference has ~5 GiB to spare, and the loop costs
+        # read/write per chunk.
+        "core_chunk1": {"AURORA_RESAMPLER_BWD_CHUNK": "65536"},
     }
     KNOBS = (
+        "AURORA_RESAMPLER_BWD_CHUNK",
         "AURORA_MASK_CONSTANTS",
         "AURORA_FUSE_PERCEIVER_CORE",
         "AURORA_PERCEIVER_USE_KERNEL",
