@@ -1638,7 +1638,12 @@ def _run_blocks_scan(
             xcur = apply_block(b1, xcur, 2 * it + 1, full_shift, dpr[1])
             return xcur, None
 
-        x, _ = jax.lax.scan(body, x, (paired, dp_paired, jnp.arange(pairs)))
+        # ``unroll`` trades program text back for loop overhead (probe knob:
+        # stacked costs ~12 ms/step vs inlined at 0.25° B=1 inference).
+        unroll = int(os.environ.get("AURORA_SCAN_UNROLL", "1"))
+        x, _ = jax.lax.scan(
+            body, x, (paired, dp_paired, jnp.arange(pairs)), unroll=unroll
+        )
     if depth % 2:
         last = jax.tree_util.tree_map(lambda a: a[-1], blocks)
         # float(): a strong np.float32 rate would upcast a bf16 block (see

@@ -117,11 +117,16 @@ def main():
         # Single-shot (unchunked) XLA primal for the wrapper's non-kernel
         # geometries (bf16 de-agg): the 8-chunk lax.map exists for TRAIN
         # transients; inference has ~5 GiB to spare, and the loop costs
-        # read/write per chunk.
+        # read/write per chunk. (REJECTED with data: +47 ms, bisect4.)
         "core_chunk1": {"AURORA_RESAMPLER_BWD_CHUNK": "65536"},
+        # Scan-over-blocks with the body unrolled 2x: half the loop trips,
+        # program text still depth/4 of inlined — does it buy back part of the
+        # stacked layout's ~12 ms?
+        "unroll2": {"AURORA_SCAN_UNROLL": "2"},
     }
     KNOBS = (
         "AURORA_RESAMPLER_BWD_CHUNK",
+        "AURORA_SCAN_UNROLL",
         "AURORA_MASK_CONSTANTS",
         "AURORA_FUSE_PERCEIVER_CORE",
         "AURORA_PERCEIVER_USE_KERNEL",
