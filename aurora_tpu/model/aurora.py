@@ -314,8 +314,12 @@ def forward_core(
     # inside backbone_apply; the encoder and decoder checkpoint here, so the
     # de-aggregation activations — among the largest tensors in a full fine-tune —
     # are recomputed in the backward instead of stored (VERDICT r3 missing #2).
+    # ``cfg.remat_scope`` relaxes the list from the outside in when HBM headroom
+    # allows ("no_outer"/"blocks" skip these outer wraps — each skipped level
+    # removes one forward replay from the backward; tools/train_speed_probe.py).
+    remat_outer = cfg.remat and cfg.remat_scope == "full"
     enc_fn = encoder_apply_sharded if spmd_local else encoder_apply
-    if cfg.remat:
+    if remat_outer:
         enc_fn = jax.checkpoint(enc_fn, static_argnums=(4, 6))
 
     x = enc_fn(
@@ -329,7 +333,7 @@ def forward_core(
     # its blocks): across the rest of the backward only the backbone INPUT stays
     # resident; layer and block boundaries materialise one level at a time.
     bb_fn = backbone_apply
-    if cfg.remat:
+    if remat_outer:
         bb_fn = jax.checkpoint(backbone_apply, static_argnums=(4, 5))
     if cfg.autocast:
         x = bb_fn(
@@ -352,7 +356,7 @@ def forward_core(
     atmos_names = tuple(atmos_t.keys())
     if spmd_local:
         dec_fn = decoder_apply_sharded
-        if cfg.remat:
+        if remat_outer:
             dec_fn = jax.checkpoint(dec_fn, static_argnums=(2, 3, 4, 6))
         surf_pred, atmos_pred = dec_fn(
             params["decoder"], x, surf_names, atmos_names, atmos_levels,
@@ -360,7 +364,7 @@ def forward_core(
         )
     else:
         dec_fn = decoder_apply
-        if cfg.remat:
+        if remat_outer:
             dec_fn = jax.checkpoint(dec_fn, static_argnums=(2, 3, 4, 6, 7, 8, 9))
         surf_pred, atmos_pred = dec_fn(
             params["decoder"],

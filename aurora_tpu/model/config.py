@@ -53,6 +53,13 @@ class AuroraConfig:
     clamp_at_first_step: bool = False
     simulate_indexing_bug: bool = False
     remat: bool = False
+    # Which checkpoint levels ``remat=True`` applies — "full" (the reference's
+    # complete boundary list: encoder/decoder + whole backbone + stage + block),
+    # "no_outer" (drop the encoder/decoder/whole-backbone wraps), or "blocks"
+    # (per-block only). Each relaxation removes one forward replay from the
+    # backward at the cost of keeping that level's activations resident; relax
+    # when the chip has HBM headroom (see BackboneConfig.remat_scope).
+    remat_scope: str = "full"
     # Training-only stochastic knobs (reference: aurora/model/aurora.py:71-72).
     # ``drop_path``: stochastic-depth peak rate, ramped linearly over the backbone
     # blocks; ``drop_rate``: dropout on the backbone proj/MLP linears. Active only
@@ -126,6 +133,7 @@ class AuroraConfig:
             lora_steps=self.lora_steps,
             lora_mode=self.lora_mode,
             remat=self.remat,
+            remat_scope=self.remat_scope,
             drop_path=self.drop_path,
             drop_rate=self.drop_rate,
             attention_impl=self.attention_impl,

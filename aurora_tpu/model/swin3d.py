@@ -122,6 +122,14 @@ class BackboneConfig:
     lora_r: int = 8
     lora_alpha: int = 8
     remat: bool = False
+    # Which of the nested ``jax.checkpoint`` levels ``remat=True`` applies.
+    # "full" = the reference's complete activation-checkpointing boundary list
+    # (aurora.py:506-515: whole backbone + each stage + each block) — smallest
+    # memory, backward replays the forward ~3×. "no_outer" drops the whole-
+    # backbone wrap (stage + block remat stay). "blocks" keeps only the
+    # per-block wrap. Relax when HBM headroom allows: each dropped level
+    # removes one forward replay from the backward (tools/train_speed_probe.py).
+    remat_scope: str = "full"
     # Stochastic depth (training only; reference: aurora/model/swin3d.py:430,507-508
     # and the linspace schedule at swin3d.py:813). The per-block rate ramps linearly
     # from 0 to ``drop_path`` over the encoder blocks; decoder layers reuse the same
@@ -1654,7 +1662,7 @@ def _run_blocks_scan(
 
 def _layer_apply(p, x, c, res, num_heads, rollout_step, cfg, dp_rates, rng):
     """One U-Net stage (= reference Basic3DEncoder/DecoderLayer) with nested remat."""
-    if cfg.remat:
+    if cfg.remat and cfg.remat_scope in ("full", "no_outer"):
         run = jax.checkpoint(_run_blocks, static_argnums=(3, 4, 6, 7))
     else:
         run = _run_blocks

@@ -127,6 +127,37 @@ def test_gradient_accumulation_matches_mean_gradient(setup):
         )
 
 
+def test_remat_scope_grads_identical(setup):
+    """Every ``remat_scope`` relaxation ("no_outer", "blocks") and remat=False
+    give the same loss and the same gradients as the full nested checkpoint
+    list — remat trades memory for recompute, never math (the knob exists so
+    training can spend HBM headroom on speed; tools/train_speed_probe.py)."""
+    model, params, (surf, static, atmos, enc, step), levels, (ts, ta) = setup
+    from aurora_tpu.model.aurora import forward_core
+    from aurora_tpu.training.train import mae_loss
+
+    def loss_for(cfg):
+        def loss(p):
+            ps, pa = forward_core(p, surf, static, atmos, enc, step, levels, cfg)
+            return mae_loss(ps, pa, ts, ta)
+
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    ref_loss, ref_grads = loss_for(model.cfg.replace(remat=True, remat_scope="full"))
+    ref_flat = _flat_with_paths(ref_grads)
+    for scope, remat in (("no_outer", True), ("blocks", True), ("full", False)):
+        loss, grads = loss_for(model.cfg.replace(remat=remat, remat_scope=scope))
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+        got = _flat_with_paths(grads)
+        for k in ref_flat:
+            # Not bitwise: each scope is a different XLA schedule, so f32 sums
+            # reassociate (measured: ≲0.01% of elements past 2e-4 rel).
+            np.testing.assert_allclose(
+                np.asarray(ref_flat[k]), np.asarray(got[k]), rtol=2e-3, atol=1e-5,
+                err_msg=f"remat={remat} scope={scope}: {k}",
+            )
+
+
 def test_optimizer_state_inherits_param_sharding(setup):
     model, params, *_ = setup
     mesh = auto_mesh(8)

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--W", type=int, default=1440)
     ap.add_argument("--compile-only", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument(
+        "--remat-scope", choices=("full", "no_outer", "blocks"), default="full",
+        help="checkpoint-level relaxation (see AuroraConfig.remat_scope; "
+        "tools/train_speed_probe.py measures the speed/memory trade)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -64,7 +69,7 @@ def main():
 
     cfg = LARGE_CONFIG.replace(
         autocast=True, agg_chunk_size=8192, deagg_bf16=True, agg_bf16=True,
-        use_lora=True, remat=not args.no_remat,
+        use_lora=True, remat=not args.no_remat, remat_scope=args.remat_scope,
     )
     model = Aurora(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
@@ -152,6 +157,7 @@ def main():
         "metric": f"train_step_{args.mode}",
         "grid": [args.H, args.W],
         "remat": cfg.remat,
+        "remat_scope": cfg.remat_scope,
         **mem,
         "fits_16gb": total / gib < hbm,
     }
