@@ -146,8 +146,11 @@ def main():
 
     gib = 2.0**30
     results = []
+    # Default (0.25°) grid keeps the canonical name; other grids get a suffix so
+    # runs at multiple resolutions don't clobber each other's artifacts.
+    suffix = "" if (args.H, args.W) == (721, 1440) else f"_{args.H}x{args.W}"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "TRAIN_SPEED_PROBE.json")
+                        f"TRAIN_SPEED_PROBE{suffix}.json")
 
     def flush():
         with open(path, "w") as f:
