@@ -90,6 +90,16 @@ class AuroraConfig:
     density_channel_surf_vars: tuple[str, ...] = ()
     angle_surf_vars: tuple[str, ...] = ()
 
+    def __post_init__(self):
+        # A typo'd scope would otherwise silently degrade to per-block-only
+        # checkpointing (every gate comparison just reads False) — which OOMs
+        # the 0.25° train step with no hint the config string was the cause.
+        if self.remat_scope not in ("full", "no_outer", "blocks"):
+            raise ValueError(
+                f"remat_scope must be 'full', 'no_outer' or 'blocks', "
+                f"got {self.remat_scope!r}."
+            )
+
     # ------------------------------------------------------------------ derived views
 
     @property

@@ -146,6 +146,15 @@ class BackboneConfig:
     # tools/backbone_ablate.py), plain XLA elsewhere.
     mlp_impl: str = "auto"
 
+    def __post_init__(self):
+        # Same guard as AuroraConfig: an unknown scope would silently act like
+        # "blocks" (both gate comparisons read False).
+        if self.remat_scope not in ("full", "no_outer", "blocks"):
+            raise ValueError(
+                f"remat_scope must be 'full', 'no_outer' or 'blocks', "
+                f"got {self.remat_scope!r}."
+            )
+
 
 def maybe_adjust_windows(window_size, shift_size, res):
     """Shrink windows (and zero the shift) along axes where the grid is not larger than

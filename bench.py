@@ -33,19 +33,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_numpy_batch(seed=0, B=B):
+def make_numpy_batch(seed=0, B=B, H=None, W=None):
+    # None = the module-level 0.25° grid (read via globals() so the params can
+    # shadow the constants without capturing them at def time).
+    H = globals()["H_FULL"] if H is None else H
+    W = globals()["W"] if W is None else W
     rng = np.random.default_rng(seed)
     return dict(
-        surf={k: rng.standard_normal((B, T, H_FULL, W)).astype(np.float32) for k in SURF},
-        static={k: np.abs(rng.standard_normal((H_FULL, W))).astype(np.float32) for k in STATIC},
+        surf={k: rng.standard_normal((B, T, H, W)).astype(np.float32) for k in SURF},
+        static={k: np.abs(rng.standard_normal((H, W))).astype(np.float32) for k in STATIC},
         atmos={
-            k: rng.standard_normal((B, T, len(LEVELS), H_FULL, W)).astype(np.float32)
+            k: rng.standard_normal((B, T, len(LEVELS), H, W)).astype(np.float32)
             for k in ATMOS
         },
-        lat=np.linspace(90, -90, H_FULL),
+        lat=np.linspace(90, -90, H),
         lon=np.linspace(0, 360, W, endpoint=False),
         time=tuple(datetime(2020, 6, 1, 12) for _ in range(B)),
     )
+
+
+def open_film_gates(params, std=0.05):
+    """Randomise the zero-init FiLM modulations so a fine-tune step has nonzero
+    gradients (at fresh init every Swin block is an adaLN-zero identity, so a
+    LoRA-only step would have a flat loss; real fine-tunes start from released
+    weights with open gates). Shared by the training benches; the seed is a
+    stable CRC of the leaf path so runs are reproducible across processes."""
+    import zlib
+
+    import jax
+    import jax.tree_util as jtu
+
+    def visit(path, v):
+        ks = jtu.keystr(path)
+        if "modulation" in ks and ks.endswith("'weight']"):
+            return std * jax.random.normal(
+                jax.random.PRNGKey(zlib.crc32(ks.encode()) % (2**31)), v.shape, v.dtype
+            )
+        return v
+
+    return jtu.tree_map_with_path(visit, params)
 
 
 def bench_jax(steps=3, use_lora=True, measure_rollout=True):

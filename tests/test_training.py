@@ -158,6 +158,19 @@ def test_remat_scope_grads_identical(setup):
             )
 
 
+def test_remat_scope_typo_raises():
+    """An unknown remat_scope must raise at config construction — silently it
+    would act like per-block-only checkpointing and OOM the 0.25° train step
+    with no hint the config string was the cause."""
+    from aurora_tpu.model.config import LARGE_CONFIG
+    from aurora_tpu.model.swin3d import BackboneConfig
+
+    with pytest.raises(ValueError, match="remat_scope"):
+        LARGE_CONFIG.replace(remat_scope="no-outer")
+    with pytest.raises(ValueError, match="remat_scope"):
+        BackboneConfig(remat_scope="none")
+
+
 def test_optimizer_state_inherits_param_sharding(setup):
     model, params, *_ = setup
     mesh = auto_mesh(8)

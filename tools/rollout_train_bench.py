@@ -36,11 +36,14 @@ def main():
                     default="full")
     ap.add_argument("--lora-mode", choices=("all", "from_second"), default="all")
     ap.add_argument("--compile-only", action="store_true")
+    ap.add_argument("--hbm-gate", type=float, default=15.2,
+                    help="skip the timed run when compiled peak exceeds this (GiB)")
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1 (one warm-up iteration is always run)")
 
     import jax
     import jax.numpy as jnp
-    import jax.tree_util as jtu
 
     try:
         jax.config.update(
@@ -51,7 +54,7 @@ def main():
     except Exception:
         pass
 
-    from bench import LEVELS, make_numpy_batch
+    from bench import LEVELS, make_numpy_batch, open_film_gates
     from aurora_tpu import cast_backbone_params
     from aurora_tpu.batch import Batch, Metadata
     from aurora_tpu.model.aurora import Aurora, init_params, stack_block_params
@@ -70,28 +73,12 @@ def main():
     model = Aurora(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
 
-    # Open the adaLN-zero gates so LoRA gradients are nonzero (same as
-    # tools/train_bench.py).
-    def _open_gates(path, v):
-        ks = jtu.keystr(path)
-        if "modulation" in ks and ks.endswith("'weight']"):
-            return 0.05 * jax.random.normal(
-                jax.random.PRNGKey(hash(ks) % (2**31)), v.shape, v.dtype
-            )
-        return v
-
-    params = jtu.tree_map_with_path(_open_gates, params)
+    # Open the adaLN-zero gates so LoRA gradients are nonzero (bench.open_film_gates).
+    params = open_film_gates(params)
     params = cast_backbone_params(params)
     params = stack_block_params(params)
 
-    import bench as _bench
-
-    _H, _W = _bench.H_FULL, _bench.W
-    _bench.H_FULL, _bench.W = args.H, args.W
-    try:
-        data = make_numpy_batch()
-    finally:
-        _bench.H_FULL, _bench.W = _H, _W
+    data = make_numpy_batch(H=args.H, W=args.W)
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
         metadata=Metadata(
@@ -158,7 +145,12 @@ def main():
         "peak_gib": round(peak, 3),
         "fits_16gb": peak < 15.75,
     }
-    if not args.compile_only and peak < 15.2:
+    if args.compile_only:
+        out["skipped"] = "--compile-only"
+    elif peak > args.hbm_gate:
+        out["skipped"] = f"peak {peak:.2f} GiB > gate {args.hbm_gate} (not timed)"
+        print(f"SKIPPED run: {out['skipped']}", file=sys.stderr)
+    if "skipped" not in out:
         times, losses = [], []
         for i in range(args.steps + 1):
             t0 = time.time()

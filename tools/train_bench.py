@@ -60,7 +60,7 @@ def main():
     except Exception:
         pass
 
-    from bench import LEVELS, make_numpy_batch
+    from bench import LEVELS, make_numpy_batch, open_film_gates
     from aurora_tpu import cast_backbone_params
     from aurora_tpu.batch import Batch, Metadata
     from aurora_tpu.model.aurora import Aurora, init_params, stack_block_params
@@ -73,23 +73,9 @@ def main():
     )
     model = Aurora(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    # Randomise the zero-init FiLM modulations to simulate a TRAINED checkpoint: at
-    # fresh init every swin block is an adaLN-zero identity (gate = 0), so a
-    # LoRA-only fine-tune would have exactly-zero gradients and a flat loss (the
-    # adapters sit inside the gated branches). Real fine-tunes start from the
-    # released weights, where the gates are nonzero. Same device-free trick as
-    # tests/test_training.py::_randomise_modulations.
-    import jax.tree_util as jtu
-
-    def _open_gates(path, v):
-        ks = jtu.keystr(path)
-        if "modulation" in ks and ks.endswith("'weight']"):
-            return 0.05 * jax.random.normal(
-                jax.random.PRNGKey(hash(ks) % (2**31)), v.shape, v.dtype
-            )
-        return v
-
-    params = jtu.tree_map_with_path(_open_gates, params)
+    # Simulate a TRAINED checkpoint (fresh init is an adaLN-zero identity with
+    # flat LoRA loss; see bench.open_film_gates).
+    params = open_film_gates(params)
     if args.mode == "lora":
         # Frozen base → bf16-stored backbone weights are free memory (bitwise
         # identical under autocast); LoRA adapters stay f32 master copies.
@@ -99,14 +85,7 @@ def main():
     # stacked block params shrink each stage to one scanned body.
     params = stack_block_params(params)
 
-    import bench as _bench
-
-    _H, _W = _bench.H_FULL, _bench.W
-    _bench.H_FULL, _bench.W = args.H, args.W
-    try:
-        data = make_numpy_batch()
-    finally:
-        _bench.H_FULL, _bench.W = _H, _W
+    data = make_numpy_batch(H=args.H, W=args.W)
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
         metadata=Metadata(

@@ -40,10 +40,11 @@ def main():
     ap.add_argument("--hbm-gate", type=float, default=15.2)
     ap.add_argument("--arms", default="base,no_outer,blocks,blocks_chunks,base2")
     args = ap.parse_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1 (one warm-up iteration is always run)")
 
     import jax
     import jax.numpy as jnp
-    import jax.tree_util as jtu
 
     try:
         jax.config.update(
@@ -54,7 +55,7 @@ def main():
     except Exception:
         pass
 
-    from bench import LEVELS, make_numpy_batch
+    from bench import LEVELS, make_numpy_batch, open_film_gates
     from aurora_tpu import cast_backbone_params
     from aurora_tpu.batch import Batch, Metadata
     from aurora_tpu.model.aurora import Aurora, init_params, stack_block_params
@@ -68,28 +69,12 @@ def main():
     model = Aurora(base_cfg)
     params = init_params(jax.random.PRNGKey(0), base_cfg, dtype=jnp.float32)
 
-    # Open the adaLN-zero gates so LoRA gradients are nonzero (same trick as
-    # tools/train_bench.py / tests/test_training.py::_randomise_modulations).
-    def _open_gates(path, v):
-        ks = jtu.keystr(path)
-        if "modulation" in ks and ks.endswith("'weight']"):
-            return 0.05 * jax.random.normal(
-                jax.random.PRNGKey(hash(ks) % (2**31)), v.shape, v.dtype
-            )
-        return v
-
-    params = jtu.tree_map_with_path(_open_gates, params)
+    # Open the adaLN-zero gates so LoRA gradients are nonzero (bench.open_film_gates).
+    params = open_film_gates(params)
     params = cast_backbone_params(params)
     params = stack_block_params(params)
 
-    import bench as _bench
-
-    _H, _W = _bench.H_FULL, _bench.W
-    _bench.H_FULL, _bench.W = args.H, args.W
-    try:
-        data = make_numpy_batch()
-    finally:
-        _bench.H_FULL, _bench.W = _H, _W
+    data = make_numpy_batch(H=args.H, W=args.W)
     batch = Batch(
         surf_vars=data["surf"], static_vars=data["static"], atmos_vars=data["atmos"],
         metadata=Metadata(
@@ -159,6 +144,13 @@ def main():
                     "date": time.strftime("%Y-%m-%d"),
                     "grid": [args.H, args.W],
                     "recipe": "LoRA fine-tune step, scan-over-blocks, bf16 backbone",
+                    "loss_note": (
+                        "params/opt_state carry through ALL arms (re-uploading "
+                        "5.2 GB per arm through the tunnel would dwarf the "
+                        "measurement), so the per-arm losses form ONE continuing "
+                        "training trajectory; only the TIMINGS compare across "
+                        "arms (that is what the base2 regime control checks)."
+                    ),
                     "arms": results,
                 },
                 f, indent=1,
@@ -183,7 +175,11 @@ def main():
             )
             compiled = lowered.compile()
         except Exception as e:  # e.g. the remote compiler's own HBM-capacity check
-            msg = str(e)
+            import re
+
+            # The tunnel's error lines carry ANSI colour escapes + timestamps;
+            # strip them so the JSON artifact stays machine-readable.
+            msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
             m = [ln for ln in msg.splitlines() if "memory" in ln.lower()][:1]
             rec = {
                 "arm": arm, "remat_scope": scope, "env": env,
