@@ -284,6 +284,26 @@ def test_rollout_train_step_moves_per_step_lora():
     )
 
 
+def test_rollout_train_step_requires_dyn_steps_for_dynamic_vars():
+    """Dynamic-vars models (air pollution) advance their time-of-day/week/year
+    features every roll-out step; forgetting the per-step stack must fail loudly
+    (train.py:219-223), not silently reuse step-0 features for every step."""
+    import jax.numpy as jnp
+
+    from aurora_tpu.model.config import SMALL_CONFIG
+    from aurora_tpu.training.train import adamw, make_rollout_train_step
+
+    cfg = SMALL_CONFIG.replace(dynamic_vars=True)
+    optimizer = adamw(1e-3)
+    train_step = make_rollout_train_step(cfg, optimizer, (100.0,), steps=2)
+    with pytest.raises(ValueError, match="dyn_steps"):
+        # The guard fires before any real tracing, so dummy args suffice.
+        train_step(
+            {}, {}, {}, {}, {}, None, jnp.zeros((2, 1, 4)),
+            jnp.asarray(0, jnp.int32), {}, {},
+        )
+
+
 def test_train_state_save_restore_resumes_identically(setup, tmp_path):
     """save_train_state/restore_train_state round-trips optax state: a resumed run
     continues bit-identically to the uninterrupted one (the reference has no training
